@@ -1,0 +1,197 @@
+"""Ray sampling: stratified sampling and inverse-CDF hierarchical resampling.
+
+Behavioural parity targets (reference file:line):
+  * sample_along_rays             reference models/mip.py:127-165
+  * sample_along_rays_360         reference models/mip.py:106-124
+  * sorted_piecewise_constant_pdf reference models/mip.py:168-229
+  * resample_along_rays           reference models/mip.py:232-280
+
+TPU-first design notes:
+  * The reference's `torch.searchsorted` + `torch.gather` resampling
+    (models/mip.py:210-224) is replaced by a comparison-mask interval
+    search: bin endpoints are recovered with masked max/min reductions
+    instead of gathers.  Gathers serialize badly on the TPU VPU; masked
+    reductions vectorize perfectly and XLA fuses the whole resample into a
+    single elementwise+reduce program.  Results are bit-compatible with the
+    searchsorted/gather formulation (verified in tests against a numpy
+    implementation of the torch semantics).
+  * Randomness is explicit: callers pass a `jax.random` key instead of
+    relying on a global RNG (replaces torch.rand/.uniform_ global-state use).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mipnerf_pl_tpu.ops.math import cast_rays
+
+_F32_EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+def sample_along_rays(key, origins, directions, radii, num_samples: int,
+                      near, far, randomized: bool, disparity: bool,
+                      ray_shape: str):
+    """Stratified sampling along rays, cast to Gaussians.
+
+    Parity: reference models/mip.py:127-165.
+
+    Args:
+      key: PRNG key (ignored when randomized=False; may be None then).
+      origins/directions: [B, 3]; radii/near/far: [B, 1].
+      num_samples: samples per ray (N).
+      randomized: jittered stratified sampling vs midpoint-free linspace.
+      disparity: sample linearly in inverse depth.
+      ray_shape: 'cone' or 'cylinder'.
+
+    Returns:
+      (t_samples [B, N+1], (means [B, N, 3], covs [B, N, 3])).
+    """
+    batch_size = origins.shape[0]
+    dtype = origins.dtype
+
+    t = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=dtype)       # [N+1]
+    if disparity:
+        t_samples = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    else:
+        t_samples = near + (far - near) * t                         # [B, N+1]
+
+    if randomized:
+        mids = 0.5 * (t_samples[..., 1:] + t_samples[..., :-1])
+        upper = jnp.concatenate([mids, t_samples[..., -1:]], axis=-1)
+        lower = jnp.concatenate([t_samples[..., :1], mids], axis=-1)
+        t_rand = jax.random.uniform(key, (batch_size, num_samples + 1),
+                                    dtype=dtype)
+        t_samples = lower + (upper - lower) * t_rand
+    else:
+        t_samples = jnp.broadcast_to(t_samples, (batch_size, num_samples + 1))
+    means, covs = cast_rays(t_samples, origins, directions, radii, ray_shape)
+    return t_samples, (means, covs)
+
+
+def sample_along_rays_360(key, origins, directions, radii, num_samples: int,
+                          near, far, randomized: bool, ray_shape: str):
+    """Inverse-depth sampling for unbounded scenes (full covariances).
+
+    Parity: reference models/mip.py:106-124.  Returns t_inv (the sampling
+    coordinates) and Gaussians for t = 1/t_inv.
+    """
+    batch_size = origins.shape[0]
+    dtype = origins.dtype
+    t = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=dtype)
+    t_inv = (1.0 / far) * t + (1.0 - t) * (1.0 / near)              # [B, N+1]
+
+    if randomized:
+        mids = 0.5 * (t_inv[..., 1:] + t_inv[..., :-1])
+        upper = jnp.concatenate([mids, t_inv[..., -1:]], axis=-1)
+        lower = jnp.concatenate([t_inv[..., :1], mids], axis=-1)
+        t_rand = jax.random.uniform(key, (batch_size, num_samples + 1),
+                                    dtype=dtype)
+        t_inv = lower + (upper - lower) * t_rand
+    else:
+        t_inv = jnp.broadcast_to(t_inv, (batch_size, num_samples + 1))
+    t_world = 1.0 / t_inv
+    means, covs = cast_rays(t_world, origins, directions, radii, ray_shape,
+                            diagonal=False)
+    return t_inv, (means, covs)
+
+
+def sorted_piecewise_constant_pdf(key, bins, weights, num_samples: int,
+                                  randomized: bool):
+    """Inverse-transform sampling from a piecewise-constant PDF over sorted bins.
+
+    Parity: reference models/mip.py:168-229, including the eps-padding of
+    degenerate weight vectors, the [0, 1-eps] deterministic u-grid, and the
+    `denom < 1e-5 -> 1` guard.
+
+    TPU-native interval search: instead of searchsorted+gather, build the
+    comparison mask `u >= cdf` once and extract each interval's
+    (bin, cdf) endpoints with masked max/min reductions.  For bins of size
+    M+2 and S output samples this is an [B, S, M+2] fused mask-reduce —
+    pure VPU work, no gathers, no sorting.
+
+    Args:
+      key: PRNG key (used only when randomized).
+      bins: [B, M+1] sorted fencepost positions.
+      weights: [B, M] non-negative histogram weights.
+      num_samples: S, number of samples to draw.
+      randomized: jittered samples vs deterministic grid.
+
+    Returns:
+      samples: [B, S] positions, sorted ascending (u is monotone and the
+      piecewise-linear inverse CDF is non-decreasing).
+    """
+    dtype = bins.dtype
+    eps = 1e-5
+    weight_sum = jnp.sum(weights, axis=-1, keepdims=True)            # [B, 1]
+    padding = jnp.maximum(0.0, eps - weight_sum)
+    weights = weights + padding / weights.shape[-1]
+    weight_sum = weight_sum + padding
+
+    # CDF starting at exactly 0 and ending at exactly 1: [B, M+1]
+    # (same length as `bins`, so cdf[m] pairs with bins[m]).
+    pdf = weights / weight_sum
+    cdf = jnp.minimum(1.0, jnp.cumsum(pdf[..., :-1], axis=-1))
+    cdf = jnp.concatenate([
+        jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1]),
+    ], axis=-1)
+
+    if randomized:
+        s = 1.0 / num_samples
+        u = jnp.arange(num_samples, dtype=dtype) * s                  # [S]
+        u = u + jax.random.uniform(
+            key, (*cdf.shape[:-1], num_samples), dtype=dtype,
+            maxval=s - _F32_EPS)
+        u = jnp.minimum(u, 1.0 - _F32_EPS)
+    else:
+        u = jnp.linspace(0.0, 1.0 - _F32_EPS, num_samples, dtype=dtype)
+        u = jnp.broadcast_to(u, (*cdf.shape[:-1], num_samples))
+
+    # Interval search via mask reductions (replaces searchsorted + gather).
+    # mask[..., s, m] == True where u_s >= cdf_m; the True-count equals the
+    # right-side searchsorted index.  Because cdf[0] == 0 <= u and
+    # cdf[-1] == 1 > u, both masked reductions always see a valid element,
+    # making this exactly equivalent to clamp(searchsorted)+gather.
+    mask = u[..., :, None] >= cdf[..., None, :]                       # [B, S, M+1]
+
+    def endpoints(x):
+        # Largest x_m with mask True (below) and smallest with mask False (above).
+        x0 = jnp.max(jnp.where(mask, x[..., None, :], x[..., None, :1]), axis=-1)
+        x1 = jnp.min(jnp.where(~mask, x[..., None, :], x[..., None, -1:]), axis=-1)
+        return x0, x1
+
+    bins_g0, bins_g1 = endpoints(bins)
+    cdf_g0, cdf_g1 = endpoints(cdf)
+
+    denom = cdf_g1 - cdf_g0
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_g0) / denom
+    samples = bins_g0 + t * (bins_g1 - bins_g0)
+    return samples
+
+
+def resample_along_rays(key, origins, directions, radii, t_samples, weights,
+                        randomized: bool, ray_shape: str, stop_grad: bool,
+                        resample_padding: float):
+    """Hierarchical resampling: blurpool coarse weights, inverse-CDF sample.
+
+    Parity: reference models/mip.py:232-280.  `torch.no_grad()` becomes
+    `jax.lax.stop_gradient` on the resampled fenceposts.
+
+    Returns:
+      (new_t_samples [B, N+1], (means, covs)).
+    """
+    # Blurpool: max-filter of adjacent pairs then 2-tap average (models/mip.py:252-254).
+    weights_pad = jnp.concatenate(
+        [weights[..., :1], weights, weights[..., -1:]], axis=-1)
+    weights_max = jnp.maximum(weights_pad[..., :-1], weights_pad[..., 1:])
+    weights_blur = 0.5 * (weights_max[..., :-1] + weights_max[..., 1:])
+    weights_blur = weights_blur + resample_padding
+
+    new_t_samples = sorted_piecewise_constant_pdf(
+        key, t_samples, weights_blur, t_samples.shape[-1], randomized)
+    if stop_grad:
+        new_t_samples = jax.lax.stop_gradient(new_t_samples)
+    means, covs = cast_rays(new_t_samples, origins, directions, radii,
+                            ray_shape)
+    return new_t_samples, (means, covs)
