@@ -1,0 +1,102 @@
+"""Flat dotted-key YAML config system (L6).
+
+The public config schema is the reference's (configs/lego.yaml:1-56,
+configs/config.py:14-92): nested YAML is flattened to dotted keys
+(`train.batch_size`), string values are literal_eval-coerced, lists become
+tuples, and the merge order is defaults <- --config file <- positional
+`opts` key/value remainder <- argparse namespace keys.
+
+Improvement over the reference: `configs/default.yaml` actually carries the
+full default schema (upstream ships it empty and crashes on missing keys),
+and the `append_identity: Ture` YAML typo is fixed (it only worked upstream
+because the misspelled string is truthy).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from ast import literal_eval
+from os.path import dirname, join
+
+import yaml
+
+DEFAULT_CONFIG_FILE = join(dirname(dirname(os.path.abspath(__file__))),
+                           'configs', 'default.yaml')
+
+
+def _parse_dict(d, d_out=None, prefix=""):
+    """Flatten nested dicts to dotted keys with literal_eval coercion."""
+    if d is None:
+        return {}
+    d_out = d_out if d_out is not None else {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            _parse_dict(v, d_out, prefix=prefix + k + '.')
+        else:
+            if isinstance(v, str):
+                try:
+                    v = literal_eval(v)
+                except (ValueError, SyntaxError):
+                    pass  # genuinely a string
+            if isinstance(v, list):
+                v = tuple(v)
+            d_out[prefix + k] = v
+    if prefix == "":
+        return d_out
+    return None
+
+
+def load(fname: str) -> dict:
+    with open(fname, 'r') as fp:
+        return _parse_dict(yaml.safe_load(fp))
+
+
+def merge_from_config(config: dict, config_merge: dict) -> None:
+    for k, v in config_merge.items():
+        config[k] = v
+
+
+def merge_from_file(config: dict, fname: str) -> None:
+    merge_from_config(config, load(fname))
+
+
+def merge_from_list(config: dict, list_merge) -> None:
+    assert len(list_merge) % 2 == 0, "The list must have key value pairs."
+    config_merge = _parse_dict(dict(zip(list_merge[0::2], list_merge[1::2])))
+    merge_from_config(config, config_merge)
+
+
+def default() -> dict:
+    return load(DEFAULT_CONFIG_FILE)
+
+
+def parse_args(parser: argparse.ArgumentParser) -> dict:
+    """defaults <- --config file <- `opts` remainder <- argparse keys."""
+    args = parser.parse_args()
+    config = default()
+    if getattr(args, 'config', None) is not None:
+        merge_from_file(config, args.config)
+    if getattr(args, 'opts', None):
+        merge_from_list(config, args.opts)
+    for k, v in args.__dict__.items():
+        if k not in config:
+            config[k] = v
+    return config
+
+
+def to_nested(config: dict) -> dict:
+    """Dotted-key dict -> nested dict (for YAML round-tripping / checkpoints)."""
+    out: dict = {}
+    for k, v in config.items():
+        parts = k.split('.')
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = list(v) if isinstance(v, tuple) else v
+    return out
+
+
+def save(config: dict, fname: str) -> None:
+    with open(fname, 'w') as fp:
+        yaml.safe_dump(to_nested(config), fp, sort_keys=False)

@@ -1,0 +1,88 @@
+"""Host -> device input pipeline: sharded, double-buffered ray batches.
+
+Replaces the reference's torch DataLoader worker pool
+(models/nerf_system.py:78-93) with a TPU-idiomatic pipeline: a background
+thread gathers numpy ray batches and pushes them to device HBM with the
+target NamedSharding while the previous step computes — the standard JAX
+double-buffering recipe, keeping the TPU from ever waiting on input.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from mipnerf_pl_tpu.rays import Rays
+
+
+class TrainBatcher:
+    """Infinite iterator of device-resident (Rays, pixels) batches.
+
+    Args:
+      dataset: a train-split dataset exposing `sample_batch(rng, batch_size)`.
+      batch_size: global batch size (divided across the mesh's data axis by
+        the sharding).
+      seed: numpy seed for the host-side ray sampler.
+      sharding: optional `jax.sharding.NamedSharding` for the batch arrays;
+        None keeps batches on the default device.
+      prefetch: number of batches to keep in flight (>=1 enables the
+        background thread; 0 is fully synchronous, used by tests).
+    """
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 sharding=None, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self._queue: Optional[queue.Queue] = None
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        if prefetch > 0:
+            self._queue = queue.Queue(maxsize=prefetch)
+            self._thread = threading.Thread(target=self._producer, daemon=True)
+            self._thread.start()
+
+    def _make_batch(self):
+        rays, pixels = self.dataset.sample_batch(self.rng, self.batch_size)
+        return self._put_on_device(rays, pixels)
+
+    def _put_on_device(self, rays: Rays, pixels: np.ndarray):
+        if self.sharding is not None:
+            dev = lambda x: jax.device_put(x, self.sharding)
+        else:
+            dev = jax.device_put
+        return Rays(*[dev(np.ascontiguousarray(f)) for f in rays]), dev(
+            np.ascontiguousarray(pixels))
+
+    def _producer(self):
+        while not self._stop.is_set():
+            batch = self._make_batch()
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        if self._queue is not None:
+            return self._queue.get()
+        return self._make_batch()
+
+    def close(self):
+        self._stop.set()
+        if self._queue is not None:
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass

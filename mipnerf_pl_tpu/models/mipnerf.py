@@ -1,0 +1,193 @@
+"""MipNerf (L1): coarse-to-fine cone-cast rendering with one shared MLP.
+
+Behavioural parity: reference models/mip_nerf.py:114-248 — a single MLP
+evaluated at `num_levels` sampling levels (level 0 stratified, level >= 1
+inverse-CDF resampled from the previous level's weights), IPE (or PE with
+zeroed covariances when `disable_integration`), optional view-direction
+conditioning, density noise, sigmoid RGB with `rgb_padding` widening,
+softplus(raw + density_bias) density, and per-level volumetric rendering.
+
+Fixes over the reference (SURVEY.md §2.2):
+  * One stable result structure — `LevelOutput` — across train/eval/render
+    (the reference's eval/render unpack a stale 3-tuple and crash, item 1).
+  * Density noise is driven by an explicit PRNG key on-device (the reference
+    calls torch.randn without device=, item 2).
+
+TPU-first design notes:
+  * The model is a pure function of (params, rays, key); randomness is a
+    threaded key folded per level — trace-once, replay-exact.
+  * num_levels is a static Python loop (2 iterations): both MLP evaluations
+    become large MXU matmul chains in a single XLA program; the resample
+    between them is fused VPU work (see ops/sampling.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mipnerf_pl_tpu.models.mlp import MLP
+from mipnerf_pl_tpu.ops.math import integrated_pos_enc, pos_enc
+from mipnerf_pl_tpu.ops.render import volumetric_rendering
+from mipnerf_pl_tpu.ops.sampling import resample_along_rays, sample_along_rays
+from mipnerf_pl_tpu.rays import Rays
+
+
+class LevelOutput(NamedTuple):
+    """Per-level render result — the one stable structure used everywhere."""
+
+    rgb: jnp.ndarray        # [B, 3] composited color
+    distance: jnp.ndarray   # [B] expected termination distance
+    acc: jnp.ndarray        # [B] accumulated opacity
+    weights: jnp.ndarray    # [B, N] per-sample compositing weights
+    t_samples: jnp.ndarray  # [B, N+1] fencepost distances
+
+
+class MipNerf(nn.Module):
+    """Mip-NeRF with a shared MLP across sampling levels."""
+
+    num_samples: int = 128
+    num_levels: int = 2
+    resample_padding: float = 0.01
+    stop_resample_grad: bool = True
+    use_viewdirs: bool = True
+    disparity: bool = False
+    ray_shape: str = 'cone'
+    min_deg_point: int = 0
+    max_deg_point: int = 16
+    deg_view: int = 4
+    density_activation: str = 'softplus'
+    density_noise: float = 0.0
+    density_bias: float = -1.0
+    rgb_activation: str = 'sigmoid'
+    rgb_padding: float = 0.001
+    disable_integration: bool = False
+    append_identity: bool = True
+    mlp_net_depth: int = 8
+    mlp_net_width: int = 256
+    mlp_net_depth_condition: int = 1
+    mlp_net_width_condition: int = 128
+    mlp_skip_index: int = 4
+    mlp_num_rgb_channels: int = 3
+    mlp_num_density_channels: int = 1
+    mlp_net_activation: str = 'relu'
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.mlp = MLP(
+            net_depth=self.mlp_net_depth,
+            net_width=self.mlp_net_width,
+            net_depth_condition=self.mlp_net_depth_condition,
+            net_width_condition=self.mlp_net_width_condition,
+            skip_index=self.mlp_skip_index,
+            num_rgb_channels=self.mlp_num_rgb_channels,
+            num_density_channels=self.mlp_num_density_channels,
+            net_activation=self.mlp_net_activation,
+            compute_dtype=self.compute_dtype,
+        )
+
+    def _rgb_act(self, x):
+        if self.rgb_activation == 'sigmoid':
+            return nn.sigmoid(x)
+        raise NotImplementedError(self.rgb_activation)
+
+    def _density_act(self, x):
+        if self.density_activation == 'softplus':
+            return nn.softplus(x)
+        if self.density_activation == 'relu':
+            return nn.relu(x)
+        raise NotImplementedError(self.density_activation)
+
+    def __call__(self, rays: Rays, key: Optional[jax.Array],
+                 randomized: bool, white_bkgd: bool) -> Tuple[LevelOutput, ...]:
+        """Render a batch of rays at every sampling level.
+
+        Args:
+          rays: Rays pytree with [B, ...] fields.
+          key: PRNG key; required when `randomized` or `density_noise > 0`.
+          randomized: stratified jitter + randomized resampling.
+          white_bkgd: composite onto white.
+
+        Returns:
+          A tuple of `num_levels` LevelOutput pytrees (coarse first).
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        ret = []
+        t_samples, weights = None, None
+        for i_level in range(self.num_levels):
+            level_key = jax.random.fold_in(key, i_level)
+            k_sample, k_noise = jax.random.split(level_key)
+            if i_level == 0:
+                t_samples, means_covs = sample_along_rays(
+                    k_sample, rays.origins, rays.directions, rays.radii,
+                    self.num_samples, rays.near, rays.far, randomized,
+                    self.disparity, self.ray_shape)
+            else:
+                t_samples, means_covs = resample_along_rays(
+                    k_sample, rays.origins, rays.directions, rays.radii,
+                    t_samples, weights, randomized, self.ray_shape,
+                    self.stop_resample_grad, self.resample_padding)
+
+            if self.disable_integration:
+                means_covs = (means_covs[0], jnp.zeros_like(means_covs[1]))
+            samples_enc = integrated_pos_enc(
+                means_covs, self.min_deg_point, self.max_deg_point)
+
+            if self.use_viewdirs:
+                viewdirs_enc = pos_enc(
+                    rays.viewdirs, min_deg=0, max_deg=self.deg_view,
+                    append_identity=self.append_identity)
+                raw_rgb, raw_density = self.mlp(samples_enc, viewdirs_enc)
+            else:
+                raw_rgb, raw_density = self.mlp(samples_enc)
+
+            if randomized and self.density_noise > 0:
+                raw_density = raw_density + self.density_noise * jax.random.normal(
+                    k_noise, raw_density.shape, dtype=raw_density.dtype)
+
+            rgb = self._rgb_act(raw_rgb)
+            rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
+            density = self._density_act(raw_density + self.density_bias)
+            comp_rgb, distance, acc, weights = volumetric_rendering(
+                rgb, density, t_samples, rays.directions, white_bkgd=white_bkgd)
+            ret.append(LevelOutput(comp_rgb, distance, acc, weights, t_samples))
+
+        return tuple(ret)
+
+
+def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNerf:
+    """Build a MipNerf from the flat dotted-key hparams dict (the public
+    config schema of reference configs/lego.yaml:19-45)."""
+    return MipNerf(
+        num_samples=hparams['nerf.num_samples'],
+        num_levels=hparams['nerf.num_levels'],
+        resample_padding=hparams['nerf.resample_padding'],
+        stop_resample_grad=hparams['nerf.stop_resample_grad'],
+        use_viewdirs=hparams['nerf.use_viewdirs'],
+        disparity=hparams['nerf.disparity'],
+        ray_shape=hparams['nerf.ray_shape'],
+        min_deg_point=hparams['nerf.min_deg_point'],
+        max_deg_point=hparams['nerf.max_deg_point'],
+        deg_view=hparams['nerf.deg_view'],
+        density_activation=hparams['nerf.density_activation'],
+        density_noise=hparams['nerf.density_noise'],
+        density_bias=hparams['nerf.density_bias'],
+        rgb_activation=hparams['nerf.rgb_activation'],
+        rgb_padding=hparams['nerf.rgb_padding'],
+        disable_integration=hparams['nerf.disable_integration'],
+        append_identity=bool(hparams['nerf.append_identity']),
+        mlp_net_depth=hparams['nerf.mlp.net_depth'],
+        mlp_net_width=hparams['nerf.mlp.net_width'],
+        mlp_net_depth_condition=hparams['nerf.mlp.net_depth_condition'],
+        mlp_net_width_condition=hparams['nerf.mlp.net_width_condition'],
+        mlp_skip_index=hparams['nerf.mlp.skip_index'],
+        mlp_num_rgb_channels=hparams['nerf.mlp.num_rgb_channels'],
+        mlp_num_density_channels=hparams['nerf.mlp.num_density_channels'],
+        mlp_net_activation=hparams['nerf.mlp.net_activation'],
+        compute_dtype=compute_dtype,
+    )

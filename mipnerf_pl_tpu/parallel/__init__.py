@@ -1,0 +1,6 @@
+from mipnerf_pl_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_rays,
+)

@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Train CLI — same public flags as reference train.py:14-21.
+
+  python train.py --data_path DATA --out_dir OUT --dataset_name blender \\
+      [--config configs/lego.yaml] [key value ...]
+"""
+
+import argparse
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--data_path", help="data path.", type=str, required=True)
+parser.add_argument("--out_dir", help="Output directory.", type=str,
+                    required=True)
+parser.add_argument("--dataset_name", help="Single or multi data.", type=str,
+                    choices=['multi_blender', 'blender', 'real360'],
+                    required=True)
+parser.add_argument("--config", help="Path to config file.", required=False,
+                    default='./configs/lego.yaml')
+parser.add_argument("--max_steps", help="Override optimizer.max_steps.",
+                    type=int, default=None)
+parser.add_argument("opts", nargs=argparse.REMAINDER,
+                    help="Modify hparams, e.g.: train.batch_size 1024")
+
+
+def main(hparams):
+    # Single jax PRNG seed replaces the reference's torch/cuda/np/random
+    # seeding (train.py:24-29) — strictly stronger determinism: every random
+    # draw threads from jax.random.PRNGKey(seed).
+    from mipnerf_pl_tpu.train.system import MipNeRFSystem
+
+    system = MipNeRFSystem(hparams)
+    print(f'mesh: {system.mesh}', flush=True)
+    system.fit(
+        data_path=hparams['data_path'],
+        dataset_name=hparams['dataset_name'],
+        out_dir=hparams['out_dir'],
+        max_steps=hparams.get('max_steps'),
+        resume_path=hparams.get('checkpoint.resume_path'),
+    )
+
+
+if __name__ == "__main__":
+    from mipnerf_pl_tpu.config import parse_args
+    main(parse_args(parser))
