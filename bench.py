@@ -20,7 +20,26 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC = 10_000.0  # estimated A100 PyTorch baseline (see above)
 
 
+def _ensure_backend():
+    """The tunneled TPU plugin occasionally fails to claim its grant right
+    after another process released it; re-exec once or twice to retry."""
+    import os
+    import sys
+    try:
+        import jax
+        jax.devices()
+        return
+    except RuntimeError as e:
+        retries = int(os.environ.get('BENCH_BACKEND_RETRIES', '0'))
+        if retries >= 3:
+            raise
+        os.environ['BENCH_BACKEND_RETRIES'] = str(retries + 1)
+        time.sleep(30)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
+    _ensure_backend()
     import jax
 
     from mipnerf_pl_tpu.config import default
@@ -40,28 +59,37 @@ def main():
     rays = Rays(origins=rng.normal(size=(batch_size, 3)).astype(np.float32) * 0.1,
                 directions=d, viewdirs=d, radii=ones * 0.005, lossmult=ones,
                 near=ones * 2.0, far=ones * 6.0)
+    # K-step scanned trainer: one dispatch = K on-device steps (the tunnel
+    # to the TPU has ~30 ms dispatch/sync latency; scanning amortizes it).
+    K = 25
+    from mipnerf_pl_tpu.parallel.mesh import stacked_batch_sharding
+    stack_sh = stacked_batch_sharding(system.mesh)
     rays = jax.tree.map(
-        lambda x: jax.device_put(x, system.batch_sharding), rays)
+        lambda x: jax.device_put(
+            np.broadcast_to(x[None], (K, *x.shape)).copy(), stack_sh), rays)
     pixels = jax.device_put(
-        rng.uniform(size=(batch_size, 3)).astype(np.float32),
-        system.batch_sharding)
+        np.broadcast_to(
+            rng.uniform(size=(batch_size, 3)).astype(np.float32)[None],
+            (K, batch_size, 3)).copy(), stack_sh)
 
     state = system.init_state()
     key = jax.random.PRNGKey(0)
+    train_many = system.make_train_many(donate=True)
 
-    # Warmup / compile.
-    state, aux = system.train_step(state, rays, pixels, key)
-    jax.block_until_ready(aux['loss'])
+    # Warmup: first call compiles; second recompiles once with the donated
+    # output buffers aliased as inputs (steady-state executable).
+    for _ in range(2):
+        state, aux = train_many(state, rays, pixels, key)
+        float(np.asarray(aux['loss'][-1]))
 
-    n_steps = 50
+    n_calls = 4
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, aux = system.train_step(state, rays, pixels,
-                                       jax.random.fold_in(key, i))
-    jax.block_until_ready(aux['loss'])
+    for _ in range(n_calls):
+        state, aux = train_many(state, rays, pixels, key)
+    float(np.asarray(aux['loss'][-1]))   # force completion
     dt = time.perf_counter() - t0
 
-    rays_per_sec = n_steps * batch_size / dt
+    rays_per_sec = n_calls * K * batch_size / dt
     rays_per_sec_chip = rays_per_sec / n_chips
     print(json.dumps({
         'metric': 'train_rays_per_sec_per_chip',

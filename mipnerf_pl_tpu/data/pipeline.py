@@ -34,9 +34,10 @@ class TrainBatcher:
     """
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
-                 sharding=None, prefetch: int = 2):
+                 sharding=None, prefetch: int = 2, steps_per_call: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.steps_per_call = steps_per_call
         self.rng = np.random.default_rng(seed)
         self.sharding = sharding
         self.prefetch = prefetch
@@ -49,7 +50,14 @@ class TrainBatcher:
             self._thread.start()
 
     def _make_batch(self):
-        rays, pixels = self.dataset.sample_batch(self.rng, self.batch_size)
+        k = self.steps_per_call
+        rays, pixels = self.dataset.sample_batch(self.rng,
+                                                 k * self.batch_size)
+        if k > 1:
+            # [K*B, C] -> [K, B, C] stacks for the scanned multi-step trainer.
+            reshape = lambda x: x.reshape(k, self.batch_size, x.shape[-1])
+            rays = Rays(*[reshape(f) for f in rays])
+            pixels = pixels.reshape(k, self.batch_size, pixels.shape[-1])
         return self._put_on_device(rays, pixels)
 
     def _put_on_device(self, rays: Rays, pixels: np.ndarray):

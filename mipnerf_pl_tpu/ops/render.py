@@ -59,13 +59,26 @@ def distloss(weights, t_samples):
     batch mean; the training loop scales it by a configurable weight,
     default 0.01 as hardcoded at reference models/nerf_system.py:110-111).
 
+    TPU-first: the bilateral term sum_ij w_i w_j |m_i - m_j| is evaluated
+    with the O(N) sorted prefix-sum identity
+        2 * sum_i w_i * (m_i * W_{<i} - (wm)_{<i}),  W_{<i} = sum_{j<i} w_j
+    instead of materializing the reference's [B, N, N] outer products —
+    valid because t_samples (hence midpoints) are sorted ascending, which
+    both the stratified sampler and the inverse-CDF resampler guarantee.
+    Saves ~400 MB of HBM traffic per level at the lego batch shape.
+
     Args:
-      weights: [B, N]; t_samples: [B, N+1].
+      weights: [B, N]; t_samples: [B, N+1] (sorted ascending).
     """
     interval = t_samples[..., 1:] - t_samples[..., :-1]
     mid_points = 0.5 * (t_samples[..., 1:] + t_samples[..., :-1])
     loss_uni = (1.0 / 3.0) * jnp.mean(jnp.sum(interval * weights ** 2, axis=-1))
-    ww = weights[..., :, None] * weights[..., None, :]               # [B, N, N]
-    mm = jnp.abs(mid_points[..., :, None] - mid_points[..., None, :])
-    loss_bi = jnp.mean(jnp.sum(ww * mm, axis=(-1, -2)))
+    w_cum = jnp.cumsum(weights, axis=-1)
+    wm = weights * mid_points
+    wm_cum = jnp.cumsum(wm, axis=-1)
+    # Exclusive prefix sums: contributions of all j < i.
+    w_before = w_cum - weights
+    wm_before = wm_cum - wm
+    loss_bi = 2.0 * jnp.mean(jnp.sum(
+        weights * (mid_points * w_before - wm_before), axis=-1))
     return loss_uni + loss_bi

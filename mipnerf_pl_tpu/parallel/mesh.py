@@ -47,6 +47,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P('data'))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """For [K, B, ...] multi-step batch stacks: K replicated (scanned
+    on-device), B sharded across the data axis."""
+    return NamedSharding(mesh, P(None, 'data'))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

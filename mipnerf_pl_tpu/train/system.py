@@ -108,7 +108,9 @@ class MipNeRFSystem:
 
     # -- data ----------------------------------------------------------------
     def setup(self, data_path: str, dataset_name: str,
-              prefetch: int = 2, seed: Optional[int] = None):
+              prefetch: int = 2, seed: Optional[int] = None,
+              steps_per_call: int = 1):
+        from mipnerf_pl_tpu.parallel.mesh import stacked_batch_sharding
         dataset_cls = dataset_dict[dataset_name]
         self.train_dataset = dataset_cls(
             data_dir=data_path, split='train',
@@ -118,10 +120,13 @@ class MipNeRFSystem:
             data_dir=data_path, split='val',
             white_bkgd=self.hparams['val.white_bkgd'],
             batch_type=self.hparams['val.batch_type'])
+        sharding = (stacked_batch_sharding(self.mesh) if steps_per_call > 1
+                    else self.batch_sharding)
         self.batcher = TrainBatcher(
             self.train_dataset, self.batch_size,
             seed=int(self.hparams['seed'] if seed is None else seed),
-            sharding=self.batch_sharding, prefetch=prefetch)
+            sharding=sharding, prefetch=prefetch,
+            steps_per_call=steps_per_call)
 
     # -- train step ------------------------------------------------------------
     def loss_fn(self, params, rays: Rays, pixels, key) -> Tuple[jnp.ndarray, dict]:
@@ -176,6 +181,40 @@ class MipNeRFSystem:
             self._train_step = self.make_train_step(
                 donate=bool(self.hparams.get('train.donate_buffers', True)))
         return self._train_step
+
+    def make_train_many(self, donate: bool = True):
+        """Build a jitted K-step trainer: `lax.scan` over stacked batches.
+
+        One dispatch trains K steps on-device — the TPU-native answer to
+        host->device dispatch latency (each Python->TPU call here rides a
+        high-latency tunnel; per-step dispatch would bound throughput at
+        ~30 rays/ms regardless of compute).  Batches arrive as [K, B, ...]
+        stacks (one transfer); per-step PRNG keys are folded from the
+        global step inside the scan, so resuming mid-run replays the exact
+        same key sequence as single-step training.
+
+        Returns fn(state, rays_stack, pixels_stack, base_key)
+          -> (state, aux stacked over K).
+        """
+
+        def multi_step(state, rays_stack, pixels_stack, base_key):
+            def body(carry, xs):
+                rays, pixels = xs
+                step_key = jax.random.fold_in(base_key, carry['step'])
+                grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+                (_, aux), grads = grad_fn(carry['params'], rays, pixels,
+                                          step_key)
+                updates, new_opt = self.tx.update(grads, carry['opt_state'],
+                                                  carry['params'])
+                new_params = optax.apply_updates(carry['params'], updates)
+                aux['lr'] = self.lr_schedule(carry['step'])
+                new_carry = {'params': new_params, 'opt_state': new_opt,
+                             'step': carry['step'] + 1}
+                return new_carry, aux
+
+            return jax.lax.scan(body, state, (rays_stack, pixels_stack))
+
+        return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
     # -- rendering --------------------------------------------------------------
     @property
@@ -265,7 +304,15 @@ class MipNeRFSystem:
         val_interval = int(hp['val.check_interval'])
         val_sample_num = int(hp['val.sample_num'])
 
-        self.setup(data_path, dataset_name)
+        # K steps per device dispatch (lax.scan): amortizes host->TPU
+        # dispatch latency.  Boundaries are rounded to multiples of K so one
+        # compiled executable serves the whole run.
+        spc = int(hp.get('train.steps_per_call', 20) or 1)
+        spc = max(1, min(spc, val_interval, max_steps))
+        val_interval = ((val_interval + spc - 1) // spc) * spc
+        log_every = max(spc, ((log_every + spc - 1) // spc) * spc)
+
+        self.setup(data_path, dataset_name, steps_per_call=spc)
         state = self.init_state()
         start_step = 0
 
@@ -286,37 +333,51 @@ class MipNeRFSystem:
         # Sanity val render (reference num_sanity_val_steps=1, train.py:57).
         self.validate(state, 1, writer=None, global_step=start_step)
 
+        train_many = self.make_train_many(
+            donate=bool(hp.get('train.donate_buffers', True)))
+
         t0 = time.time()
         rays_since_log = 0
-        for step in range(start_step, max_steps):
+        step = start_step
+        while step < max_steps:
             rays, pixels = next(self.batcher)
-            step_key = jax.random.fold_in(base_key, step)
-            state, aux = self.train_step(state, rays, pixels, step_key)
-            rays_since_log += self.batch_size
+            if spc == 1:
+                rays = namedtuple_map(lambda x: x[None] if x.ndim == 2 else x,
+                                      rays)
+                pixels = pixels[None] if pixels.ndim == 2 else pixels
+            k = min(spc, max_steps - step)
+            if k < spc:
+                # Ragged final call: slice the stack (one extra compile, once).
+                rays = namedtuple_map(lambda x: x[:k], rays)
+                pixels = pixels[:k]
+            state, aux = train_many(state, rays, pixels, base_key)
+            step += k
+            rays_since_log += self.batch_size * k
 
-            if (step + 1) % log_every == 0 or step == start_step:
-                aux = jax.device_get(aux)
+            if step % log_every == 0 or step == start_step + spc:
+                aux = jax.device_get(aux)   # [K]-stacked scalars
                 dt = time.time() - t0
                 rays_per_sec = rays_since_log / max(dt, 1e-9)
-                writer.add_scalar('lr', float(aux['lr']), step + 1)
-                writer.add_scalar('train/loss', float(aux['loss']), step + 1)
-                writer.add_scalar('train/psnr', float(aux['train/psnr']), step + 1)
-                writer.add_scalar('perf/rays_per_sec', rays_per_sec, step + 1)
+                writer.add_scalar('lr', float(aux['lr'][-1]), step)
+                writer.add_scalar('train/loss', float(aux['loss'][-1]), step)
+                writer.add_scalar('train/psnr',
+                                  float(aux['train/psnr'][-1]), step)
+                writer.add_scalar('perf/rays_per_sec', rays_per_sec, step)
                 if verbose:
-                    print(f'step {step + 1}/{max_steps} '
-                          f'loss={float(aux["loss"]):.5f} '
-                          f'psnr={float(aux["train/psnr"]):.2f} '
-                          f'lr={float(aux["lr"]):.2e} '
+                    print(f'step {step}/{max_steps} '
+                          f'loss={float(aux["loss"][-1]):.5f} '
+                          f'psnr={float(aux["train/psnr"][-1]):.2f} '
+                          f'lr={float(aux["lr"][-1]):.2e} '
                           f'rays/s={rays_per_sec:,.0f}', flush=True)
                 t0 = time.time()
                 rays_since_log = 0
 
-            if (step + 1) % val_interval == 0 or (step + 1) == max_steps:
+            if step % val_interval == 0 or step >= max_steps:
                 _, val_psnr = self.validate(
                     state, val_sample_num, writer=writer,
-                    global_step=step + 1, start_index=0)
+                    global_step=step, start_index=0)
                 host_state = jax.device_get(state)
-                ckpt.save(step + 1, host_state, val_psnr=val_psnr)
+                ckpt.save(step, host_state, val_psnr=val_psnr)
                 t0 = time.time()
                 rays_since_log = 0
 
