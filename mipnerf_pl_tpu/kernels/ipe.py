@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: fused integrated positional encoding.
+
+Computes enc = exp(-0.5 * var) * sin(arg) for the full sin/cos block layout
+of `ops.math.integrated_pos_enc` in one VMEM pass — the scale ladder is
+materialized as a constant row vector inside the kernel, the [rows, 3]
+means/covs are broadcast across the ladder on-chip, and both transcendental
+blocks are written without intermediate HBM round-trips.
+
+Shapes: means/covs [M, 3] (flattened rays x samples), output
+[M, 2 * 3 * L].  A custom VJP backprops through means and covs with a
+second fused kernel.
+
+XLA already fuses this elementwise chain well, so the kernel is opt-in
+(`integrated_pos_enc(..., backend='pallas')` via models or direct call);
+it exists as the hand-written native tier for the encode hot-path
+(SURVEY.md §2: "where a hand-written native component is wanted... fused
+IPE encoding") and as the template for future kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_TILE = 512
+
+
+def _ladder(min_deg: int, max_deg: int, dtype=jnp.float32) -> np.ndarray:
+    """[1, 3L] row vector of scales 2^l, each repeated over the 3 dims."""
+    l = np.arange(min_deg, max_deg)
+    return np.repeat(2.0 ** l, 3)[None, :].astype(dtype)
+
+
+def _fwd_kernel(scales_ref, means_ref, covs_ref, out_ref, *, num_valid_l3):
+    m = means_ref[:]                                  # [T, 3]
+    c = covs_ref[:]                                   # [T, 3]
+    L3 = num_valid_l3
+    reps = L3 // 3
+    # Broadcast [T, 3] -> [T, 3L] by concatenation along lanes.
+    m_t = pltpu.repeat(m, reps, 1)
+    c_t = pltpu.repeat(c, reps, 1)
+    s = scales_ref[:]                                 # [1, 3L]
+    arg = m_t * s
+    damp = jnp.exp(-0.5 * c_t * (s * s))
+    out_ref[:, :L3] = damp * jnp.sin(arg)
+    out_ref[:, L3:] = damp * jnp.cos(arg)
+
+
+def _bwd_kernel(scales_ref, means_ref, covs_ref, g_ref, dm_ref, dc_ref, *,
+                num_valid_l3):
+    m = means_ref[:]
+    c = covs_ref[:]
+    L3 = num_valid_l3
+    reps = L3 // 3
+    m_t = pltpu.repeat(m, reps, 1)
+    c_t = pltpu.repeat(c, reps, 1)
+    s = scales_ref[:]
+    arg = m_t * s
+    damp = jnp.exp(-0.5 * c_t * (s * s))
+    g_sin = g_ref[:, :L3]
+    g_cos = g_ref[:, L3:]
+    sin_a, cos_a = jnp.sin(arg), jnp.cos(arg)
+    # d enc_sin/d m = damp * cos(arg) * s ; d enc_cos/d m = -damp * sin * s
+    dm_wide = (g_sin * damp * cos_a - g_cos * damp * sin_a) * s
+    # d enc/d c = -0.5 s^2 * enc
+    dc_wide = -0.5 * (s * s) * (g_sin * damp * sin_a + g_cos * damp * cos_a)
+    # Fold the ladder axis back onto 3 dims: sum over l of each dim column.
+    dm = jnp.zeros_like(m)
+    dc = jnp.zeros_like(c)
+    for r in range(reps):
+        dm = dm + dm_wide[:, r * 3:(r + 1) * 3]
+        dc = dc + dc_wide[:, r * 3:(r + 1) * 3]
+    dm_ref[:] = dm
+    dc_ref[:] = dc
+
+
+def _run_fwd(means2d, covs2d, min_deg, max_deg, interpret):
+    M = means2d.shape[0]
+    L3 = 3 * (max_deg - min_deg)
+    scales = _ladder(min_deg, max_deg)
+    grid = (pl.cdiv(M, _ROW_TILE),)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, num_valid_l3=L3),
+        out_shape=jax.ShapeDtypeStruct((M, 2 * L3), means2d.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, 2 * L3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray(scales), means2d, covs2d)
+
+
+def _run_bwd(means2d, covs2d, g2d, min_deg, max_deg, interpret):
+    M = means2d.shape[0]
+    L3 = 3 * (max_deg - min_deg)
+    scales = _ladder(min_deg, max_deg)
+    grid = (pl.cdiv(M, _ROW_TILE),)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, num_valid_l3=L3),
+        out_shape=(jax.ShapeDtypeStruct((M, 3), means2d.dtype),
+                   jax.ShapeDtypeStruct((M, 3), covs2d.dtype)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, L3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, 2 * L3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_ROW_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROW_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(scales), means2d, covs2d, g2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_ipe(means, covs_diag, min_deg: int = 0, max_deg: int = 16,
+              interpret: bool = False):
+    """Fused IPE: [..., 3] diagonal Gaussians -> [..., 2*3*L] encodings.
+
+    Drop-in equal to `ops.math.integrated_pos_enc((means, covs), min_deg,
+    max_deg)` for diagonal covariances (same layout: scale-major sin block
+    then cos block).  `interpret=True` runs the Pallas interpreter (CPU
+    tests).
+    """
+    lead = means.shape[:-1]
+    out = _run_fwd(means.reshape(-1, 3), covs_diag.reshape(-1, 3),
+                   min_deg, max_deg, interpret)
+    return out.reshape(*lead, -1)
+
+
+def _fused_ipe_fwd(means, covs_diag, min_deg, max_deg, interpret):
+    return (fused_ipe(means, covs_diag, min_deg, max_deg, interpret),
+            (means, covs_diag))
+
+
+def _fused_ipe_bwd(min_deg, max_deg, interpret, res, g):
+    means, covs_diag = res
+    lead = means.shape[:-1]
+    dm, dc = _run_bwd(means.reshape(-1, 3), covs_diag.reshape(-1, 3),
+                      g.reshape(-1, g.shape[-1]), min_deg, max_deg,
+                      interpret)
+    return dm.reshape(*lead, 3), dc.reshape(*lead, 3)
+
+
+fused_ipe.defvjp(_fused_ipe_fwd, _fused_ipe_bwd)

@@ -30,9 +30,13 @@ import jax
 import jax.numpy as jnp
 
 from mipnerf_pl_tpu.models.mlp import MLP
-from mipnerf_pl_tpu.ops.math import integrated_pos_enc, pos_enc
+from mipnerf_pl_tpu.ops.math import (integrated_pos_enc,
+                                     integrated_pos_enc_360, pos_enc)
 from mipnerf_pl_tpu.ops.render import volumetric_rendering
-from mipnerf_pl_tpu.ops.sampling import resample_along_rays, sample_along_rays
+from mipnerf_pl_tpu.ops.sampling import (resample_along_rays,
+                                         resample_along_rays_360,
+                                         sample_along_rays,
+                                         sample_along_rays_360)
 from mipnerf_pl_tpu.rays import Rays
 
 
@@ -75,9 +79,19 @@ class MipNerf(nn.Module):
     mlp_num_density_channels: int = 1
     mlp_net_activation: str = 'relu'
     compute_dtype: Any = jnp.float32
+    # 'none' | 'mlp': rematerialize the MLP forward in backward instead of
+    # saving 8x[B*N, 256] activations to HBM — trades ~1 TFLOP of recompute
+    # for ~13 GB of HBM traffic per step at the lego workload shape.
+    remat: str = 'none'
+    # Unbounded (mip-NeRF-360-style) mode: inverse-depth sampling, scene
+    # contraction + icosahedral-basis IPE with full covariances.  Completes
+    # what the reference ships dead/broken (models/mip.py:106-124,292-319,
+    # 429-447 — its `parameterization` import is commented out).
+    unbounded: bool = False
 
     def setup(self):
-        self.mlp = MLP(
+        mlp_cls = nn.remat(MLP) if self.remat == 'mlp' else MLP
+        self.mlp = mlp_cls(
             net_depth=self.mlp_net_depth,
             net_width=self.mlp_net_width,
             net_depth_condition=self.mlp_net_depth_condition,
@@ -122,7 +136,20 @@ class MipNerf(nn.Module):
         for i_level in range(self.num_levels):
             level_key = jax.random.fold_in(key, i_level)
             k_sample, k_noise = jax.random.split(level_key)
-            if i_level == 0:
+            if self.unbounded:
+                # t_samples holds t_inv (descending); world distances are
+                # 1/t_inv (ascending) for compositing.
+                if i_level == 0:
+                    t_samples, means_covs = sample_along_rays_360(
+                        k_sample, rays.origins, rays.directions, rays.radii,
+                        self.num_samples, rays.near, rays.far, randomized,
+                        self.ray_shape)
+                else:
+                    t_samples, means_covs = resample_along_rays_360(
+                        k_sample, rays.origins, rays.directions, rays.radii,
+                        t_samples, weights, randomized, self.ray_shape,
+                        self.stop_resample_grad, self.resample_padding)
+            elif i_level == 0:
                 t_samples, means_covs = sample_along_rays(
                     k_sample, rays.origins, rays.directions, rays.radii,
                     self.num_samples, rays.near, rays.far, randomized,
@@ -135,8 +162,11 @@ class MipNerf(nn.Module):
 
             if self.disable_integration:
                 means_covs = (means_covs[0], jnp.zeros_like(means_covs[1]))
-            samples_enc = integrated_pos_enc(
-                means_covs, self.min_deg_point, self.max_deg_point)
+            if self.unbounded:
+                samples_enc = integrated_pos_enc_360(means_covs)
+            else:
+                samples_enc = integrated_pos_enc(
+                    means_covs, self.min_deg_point, self.max_deg_point)
 
             if self.use_viewdirs:
                 viewdirs_enc = pos_enc(
@@ -153,8 +183,11 @@ class MipNerf(nn.Module):
             rgb = self._rgb_act(raw_rgb)
             rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
             density = self._density_act(raw_density + self.density_bias)
+            # In unbounded mode t_samples carries t_inv; composite over the
+            # ascending world-space distances.
+            t_render = 1.0 / t_samples if self.unbounded else t_samples
             comp_rgb, distance, acc, weights = volumetric_rendering(
-                rgb, density, t_samples, rays.directions, white_bkgd=white_bkgd)
+                rgb, density, t_render, rays.directions, white_bkgd=white_bkgd)
             ret.append(LevelOutput(comp_rgb, distance, acc, weights, t_samples))
 
         return tuple(ret)
@@ -190,4 +223,6 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         mlp_num_density_channels=hparams['nerf.mlp.num_density_channels'],
         mlp_net_activation=hparams['nerf.mlp.net_activation'],
         compute_dtype=compute_dtype,
+        remat=str(hparams.get('train.remat', 'none')),
+        unbounded=bool(hparams.get('nerf.unbounded', False)),
     )

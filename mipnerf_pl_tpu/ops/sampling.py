@@ -170,6 +170,40 @@ def sorted_piecewise_constant_pdf(key, bins, weights, num_samples: int,
     return samples
 
 
+def resample_along_rays_360(key, origins, directions, radii, t_inv, weights,
+                            randomized: bool, ray_shape: str, stop_grad: bool,
+                            resample_padding: float):
+    """Hierarchical resampling in inverse-depth space (unbounded scenes).
+
+    The reference has no working 360 resampler (its 360 path is dead,
+    models/mip.py:106-124); this completes it: blurpool the weights, draw
+    from the piecewise-constant PDF over the (descending) t_inv bins by
+    flipping to ascending order, then cast full-covariance Gaussians at the
+    world-space distances t = 1/t_inv.
+
+    Returns (new_t_inv [B, N+1] descending, (means, covs [..., 3, 3])).
+    """
+    weights_pad = jnp.concatenate(
+        [weights[..., :1], weights, weights[..., -1:]], axis=-1)
+    weights_max = jnp.maximum(weights_pad[..., :-1], weights_pad[..., 1:])
+    weights_blur = 0.5 * (weights_max[..., :-1] + weights_max[..., 1:])
+    weights_blur = weights_blur + resample_padding
+
+    # t_inv descends from 1/near to 1/far; the PDF sampler needs ascending
+    # bins, so sample in flipped space and flip back.
+    bins_asc = jnp.flip(t_inv, axis=-1)
+    w_asc = jnp.flip(weights_blur, axis=-1)
+    new_asc = sorted_piecewise_constant_pdf(
+        key, bins_asc, w_asc, t_inv.shape[-1], randomized)
+    new_t_inv = jnp.flip(new_asc, axis=-1)
+    if stop_grad:
+        new_t_inv = jax.lax.stop_gradient(new_t_inv)
+    t_world = 1.0 / new_t_inv
+    means, covs = cast_rays(t_world, origins, directions, radii, ray_shape,
+                            diagonal=False)
+    return new_t_inv, (means, covs)
+
+
 def resample_along_rays(key, origins, directions, radii, t_samples, weights,
                         randomized: bool, ray_shape: str, stop_grad: bool,
                         resample_padding: float):

@@ -137,11 +137,13 @@ class MipNeRFSystem:
             mask = jnp.ones_like(mask)
         mask_sum = jnp.sum(mask)
 
+        use_dist = self.distloss_mult != 0.0
         losses, dists, psnrs = [], [], []
         for level in ret:
             mse = jnp.sum(mask * (level.rgb - pixels[..., :3]) ** 2) / mask_sum
             losses.append(mse)
-            dists.append(distloss(level.weights, level.t_samples))
+            dists.append(distloss(level.weights, level.t_samples)
+                         if use_dist else jnp.zeros(()))
             psnrs.append(calc_psnr(level.rgb, pixels[..., :3]))
 
         loss = losses[-1] + self.distloss_mult * dists[-1]
