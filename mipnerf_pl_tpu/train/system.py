@@ -40,6 +40,28 @@ from mipnerf_pl_tpu.utils.metrics import calc_psnr
 from mipnerf_pl_tpu.utils.vis import stack_rgb, visualize_depth
 
 
+class SimpleProfiler:
+    """Phase-timing accumulator — the analog of PL's profiler='simple'
+    (reference train.py:59): wall time per phase, printed at fit() end."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    def add(self, name: str, dt: float):
+        self.totals[name] = self.totals.get(name, 0.0) + dt
+        self.counts[name] = self.counts.get(name, 0) + 1
+
+    def summary(self) -> str:
+        lines = ['profiler summary (phase: total s | calls | mean ms):']
+        for name, total in sorted(self.totals.items(),
+                                  key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(
+                f'  {name:16s} {total:10.2f} | {n:6d} | {total / n * 1e3:10.2f}')
+        return '\n'.join(lines)
+
+
 def _dummy_rays(batch_size: int = 4) -> Rays:
     o = jnp.zeros((batch_size, 3), jnp.float32)
     d = jnp.concatenate([jnp.zeros((batch_size, 2)),
@@ -301,6 +323,10 @@ class MipNeRFSystem:
         from tensorboardX import SummaryWriter
 
         hp = self.hparams
+        # Record the data binding so checkpoints are self-contained (eval /
+        # render restore hparams from the ckpt dir alone).
+        hp['dataset_name'] = dataset_name
+        hp['data_path'] = data_path
         exp_name = hp['exp_name']
         max_steps = int(max_steps or hp['optimizer.max_steps'])
         val_interval = int(hp['val.check_interval'])
@@ -337,12 +363,16 @@ class MipNeRFSystem:
 
         train_many = self.make_train_many(
             donate=bool(hp.get('train.donate_buffers', True)))
+        prof = SimpleProfiler()
 
         t0 = time.time()
         rays_since_log = 0
         step = start_step
         while step < max_steps:
+            t_data = time.time()
             rays, pixels = next(self.batcher)
+            prof.add('data', time.time() - t_data)
+            t_step = time.time()
             if spc == 1:
                 rays = namedtuple_map(lambda x: x[None] if x.ndim == 2 else x,
                                       rays)
@@ -353,6 +383,7 @@ class MipNeRFSystem:
                 rays = namedtuple_map(lambda x: x[:k], rays)
                 pixels = pixels[:k]
             state, aux = train_many(state, rays, pixels, base_key)
+            prof.add('train_dispatch', time.time() - t_step)
             step += k
             rays_since_log += self.batch_size * k
 
@@ -375,15 +406,21 @@ class MipNeRFSystem:
                 rays_since_log = 0
 
             if step % val_interval == 0 or step >= max_steps:
+                t_val = time.time()
                 _, val_psnr = self.validate(
                     state, val_sample_num, writer=writer,
                     global_step=step, start_index=0)
+                prof.add('validate', time.time() - t_val)
+                t_ckpt = time.time()
                 host_state = jax.device_get(state)
                 ckpt.save(step, host_state, val_psnr=val_psnr)
+                prof.add('checkpoint', time.time() - t_ckpt)
                 t0 = time.time()
                 rays_since_log = 0
 
         ckpt.close()
         self.batcher.close()
         writer.close()
+        if verbose:
+            print(prof.summary(), flush=True)
         return state
