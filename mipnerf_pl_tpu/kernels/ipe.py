@@ -79,7 +79,16 @@ def _bwd_kernel(scales_ref, means_ref, covs_ref, g_ref, dm_ref, dc_ref, *,
     dc_ref[:] = dc
 
 
+def _resolve_interpret(interpret):
+    # None -> interpret everywhere except a real TPU backend (lets the same
+    # model config run in CPU tests and on hardware).
+    if interpret is None:
+        return jax.default_backend() != 'tpu'
+    return interpret
+
+
 def _run_fwd(means2d, covs2d, min_deg, max_deg, interpret):
+    interpret = _resolve_interpret(interpret)
     M = means2d.shape[0]
     L3 = 3 * (max_deg - min_deg)
     scales = _ladder(min_deg, max_deg)
@@ -103,6 +112,7 @@ def _run_fwd(means2d, covs2d, min_deg, max_deg, interpret):
 
 
 def _run_bwd(means2d, covs2d, g2d, min_deg, max_deg, interpret):
+    interpret = _resolve_interpret(interpret)
     M = means2d.shape[0]
     L3 = 3 * (max_deg - min_deg)
     scales = _ladder(min_deg, max_deg)
@@ -134,13 +144,13 @@ def _run_bwd(means2d, covs2d, g2d, min_deg, max_deg, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def fused_ipe(means, covs_diag, min_deg: int = 0, max_deg: int = 16,
-              interpret: bool = False):
+              interpret=None):
     """Fused IPE: [..., 3] diagonal Gaussians -> [..., 2*3*L] encodings.
 
     Drop-in equal to `ops.math.integrated_pos_enc((means, covs), min_deg,
     max_deg)` for diagonal covariances (same layout: scale-major sin block
-    then cos block).  `interpret=True` runs the Pallas interpreter (CPU
-    tests).
+    then cos block).  `interpret`: True forces the Pallas interpreter,
+    False forces compilation, None auto-selects (compiled on TPU only).
     """
     lead = means.shape[:-1]
     out = _run_fwd(means.reshape(-1, 3), covs_diag.reshape(-1, 3),

@@ -88,6 +88,9 @@ class MipNerf(nn.Module):
     # what the reference ships dead/broken (models/mip.py:106-124,292-319,
     # 429-447 — its `parameterization` import is commented out).
     unbounded: bool = False
+    # 'xla' (default, fused by the compiler) or 'pallas' (the hand-written
+    # kernels in mipnerf_pl_tpu.kernels) for the IPE encode.
+    ipe_backend: str = 'xla'
 
     def setup(self):
         mlp_cls = nn.remat(MLP) if self.remat == 'mlp' else MLP
@@ -164,6 +167,10 @@ class MipNerf(nn.Module):
                 means_covs = (means_covs[0], jnp.zeros_like(means_covs[1]))
             if self.unbounded:
                 samples_enc = integrated_pos_enc_360(means_covs)
+            elif self.ipe_backend == 'pallas':
+                from mipnerf_pl_tpu.kernels.ipe import fused_ipe
+                samples_enc = fused_ipe(means_covs[0], means_covs[1],
+                                        self.min_deg_point, self.max_deg_point)
             else:
                 samples_enc = integrated_pos_enc(
                     means_covs, self.min_deg_point, self.max_deg_point)
@@ -225,4 +232,5 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         compute_dtype=compute_dtype,
         remat=str(hparams.get('train.remat', 'none')),
         unbounded=bool(hparams.get('nerf.unbounded', False)),
+        ipe_backend=str(hparams.get('nerf.ipe_backend', 'xla')),
     )

@@ -50,3 +50,21 @@ def test_fused_ipe_gradients_match():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gk_c), np.asarray(gr_c),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_model_pallas_ipe_backend():
+    """MipNerf with ipe_backend='pallas' matches the XLA path."""
+    import jax
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=2,
+              mlp_net_width=16, mlp_net_width_condition=8)
+    rays = random_rays(8)
+    m_x = MipNerf(**kw, ipe_backend='xla')
+    m_p = MipNerf(**kw, ipe_backend='pallas')
+    params = m_x.init(jax.random.PRNGKey(0), rays, None, False, True)
+    r_x = m_x.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_p = m_p.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    np.testing.assert_allclose(np.asarray(r_x[-1].rgb),
+                               np.asarray(r_p[-1].rgb), rtol=1e-5, atol=1e-6)
