@@ -91,6 +91,8 @@ class MipNeRFSystem:
             int(hparams.get('num_devices', 0) or 0))
         self.batch_sharding = batch_sharding(self.mesh)
         self.param_sharding = replicated_sharding(self.mesh)
+        from mipnerf_pl_tpu.parallel.mesh import stacked_batch_sharding
+        self.stacked_sharding = stacked_batch_sharding(self.mesh)
 
         self.train_randomized = hparams['train.randomized']
         self.val_randomized = hparams['val.randomized']
@@ -242,15 +244,25 @@ class MipNeRFSystem:
 
     # -- rendering --------------------------------------------------------------
     @property
-    def render_chunk(self):
-        """Jitted forward over one fixed-size ray chunk (randomized=False)."""
+    def render_chunks_scanned(self):
+        """Jitted lax.map over [C, chunk, ...] stacked ray chunks.
+
+        One dispatch + one fetch per image instead of per chunk — the same
+        latency-amortization trick as the scanned trainer (the tunnel costs
+        ~34 ms per sync).  `lax.map` keeps per-chunk memory footprint while
+        rendering any image size with one compiled executable per chunk
+        size (reference analog: rearrange_render_image, models/mip.py:404-421).
+        """
         if self._render_chunk is None:
             @jax.jit
-            def _render(params, rays, key):
-                ret = self.model.apply(params, rays, key,
-                                       self.val_randomized, self.white_bkgd)
-                coarse, fine = ret[0], ret[-1]
-                return (coarse.rgb, fine.rgb, fine.distance, fine.acc)
+            def _render(params, rays_stack, key):
+                def one(rays):
+                    ret = self.model.apply(params, rays, key,
+                                           self.val_randomized,
+                                           self.white_bkgd)
+                    coarse, fine = ret[0], ret[-1]
+                    return (coarse.rgb, fine.rgb, fine.distance, fine.acc)
+                return jax.lax.map(one, rays_stack)
             self._render_chunk = _render
         return self._render_chunk
 
@@ -259,9 +271,8 @@ class MipNeRFSystem:
                      chunk_size: Optional[int] = None):
         """Chunked full-image render -> dict of numpy images.
 
-        Fixed-shape chunks (last one edge-padded) keep one compiled
-        executable per chunk size (reference analog: rearrange_render_image,
-        models/mip.py:404-421).
+        Fixed-shape chunks (last one edge-padded) are stacked and scanned
+        on-device in a single dispatch.
         """
         chunk_size = chunk_size or self.val_chunk_size
         h, w = rays.origins.shape[-3:-1]
@@ -269,15 +280,13 @@ class MipNeRFSystem:
         if key is None:
             key = jax.random.PRNGKey(0)
 
-        outs = []
-        for chunk in chunks:
-            chunk = namedtuple_map(
-                lambda x: jax.device_put(jnp.asarray(x), self.batch_sharding),
-                chunk)
-            outs.append(self.render_chunk(params, chunk, key))
+        stack = Rays(*[np.stack([np.asarray(getattr(c, f)) for c in chunks])
+                       for f in Rays._fields])
+        stack = namedtuple_map(
+            lambda x: jax.device_put(x, self.stacked_sharding), stack)
+        outs = self.render_chunks_scanned(params, stack, key)
         coarse_rgb, fine_rgb, dist, acc = [
-            np.concatenate([np.asarray(o[i]) for o in outs], axis=0)[:n_valid]
-            for i in range(4)]
+            np.asarray(o).reshape(-1, *o.shape[2:])[:n_valid] for o in outs]
         return {
             'coarse_rgb': coarse_rgb.reshape(h, w, 3),
             'fine_rgb': fine_rgb.reshape(h, w, 3),
