@@ -117,11 +117,17 @@ class BaseDataset:
         return self.images.shape[0]
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int):
-        """Gather a random ray batch (train split only)."""
+        """Gather a random ray batch (train split only).
+
+        Uses the native fused multi-field gather (native/gather.cpp) when
+        built — one pass over the index vector for all 8 arrays — with a
+        numpy fancy-indexing fallback.
+        """
         idx = rng.integers(0, self.num_rays, size=(batch_size,))
-        rays = namedtuple_map(lambda x: x[idx], self.rays)
-        pixels = self.images[idx]
-        return rays, pixels
+        from mipnerf_pl_tpu.native.gather import gather_multi
+        fields = list(self.rays) + [self.images]
+        gathered = gather_multi(fields, idx)
+        return Rays(*gathered[:-1]), gathered[-1]
 
 
 class Multicam(BaseDataset):

@@ -356,13 +356,26 @@ class MipNeRFSystem:
         ckpt_dir = os.path.join(out_dir, 'ckpt', exp_name)
         ckpt = CheckpointManager(ckpt_dir, hparams=hp,
                                  save_top_k=int(hp.get('checkpoint.save_top_k', 2)))
-        if resume_path or hp.get('checkpoint.resume_path'):
+        # Failure recovery (SURVEY.md §5): explicit resume_path wins;
+        # otherwise auto-restore from this run's own `last` checkpoint if one
+        # exists (a crashed/preempted job restarted with the same out_dir
+        # continues where it left off — the reference loses everything
+        # unless resume is passed manually).
+        resume_from = None
+        explicit = resume_path or hp.get('checkpoint.resume_path')
+        if explicit and str(explicit) != 'None':
+            resume_from = str(explicit)
+        elif (hp.get('checkpoint.auto_resume', True)
+              and ckpt.latest_step() is not None):
+            resume_from = ckpt_dir
+        if resume_from:
             from mipnerf_pl_tpu.train.ckpt import restore_for_eval
-            path = resume_path or hp['checkpoint.resume_path']
-            if path and str(path) != 'None':
-                start_step, state = restore_for_eval(
-                    str(path), self.abstract_state(), prefer_best=False)
-                state = jax.device_put(state, self.param_sharding)
+            start_step, state = restore_for_eval(
+                resume_from, self.abstract_state(), prefer_best=False)
+            state = jax.device_put(state, self.param_sharding)
+            if verbose:
+                print(f'resumed from {resume_from} at step {start_step}',
+                      flush=True)
 
         writer = SummaryWriter(os.path.join(out_dir, 'logs', exp_name))
         base_key = jax.random.PRNGKey(int(hp['seed']))

@@ -133,3 +133,27 @@ def test_resume_from_checkpoint(tmp_path, scene):
     state = system2.fit(scene, 'blender', out_dir, max_steps=9,
                         resume_path=ckpt_root, verbose=False)
     assert int(state['step']) == 9
+
+
+def test_auto_resume_after_crash(tmp_path, scene):
+    """A restarted fit() with the same out_dir continues from its own last
+    checkpoint without an explicit resume_path (failure recovery)."""
+    hp = tiny_hparams()
+    hp['val.check_interval'] = 5
+    out_dir = str(tmp_path / 'out')
+    # 'crash' after 5 steps (checkpoint written at 5)
+    MipNeRFSystem(hp).fit(scene, 'blender', out_dir, max_steps=5,
+                          verbose=False)
+    # restart with a larger budget: should resume at 5, not restart at 0
+    system = MipNeRFSystem(hp)
+    state = system.fit(scene, 'blender', out_dir, max_steps=10,
+                       verbose=False)
+    assert int(state['step']) == 10
+    # auto_resume off: starts over (step counts reach 10 anyway but from 0;
+    # verify via a fresh dir to keep it cheap)
+    hp2 = tiny_hparams()
+    hp2['checkpoint.auto_resume'] = False
+    hp2['val.check_interval'] = 5
+    state2 = MipNeRFSystem(hp2).fit(scene, 'blender', out_dir, max_steps=5,
+                                    verbose=False)
+    assert int(state2['step']) == 5
