@@ -87,8 +87,10 @@ class MipNeRFSystem:
             hparams['optimizer.lr_delay_steps'],
             hparams['optimizer.lr_delay_mult'])
         self.tx = optax.adam(learning_rate=self.lr_schedule)
+        self.model_axis = int(hparams.get('parallel.model_axis', 1) or 1)
         self.mesh = mesh if mesh is not None else create_mesh(
-            int(hparams.get('num_devices', 0) or 0))
+            int(hparams.get('num_devices', 0) or 0),
+            model_axis=self.model_axis)
         self.batch_sharding = batch_sharding(self.mesh)
         self.param_sharding = replicated_sharding(self.mesh)
         from mipnerf_pl_tpu.parallel.mesh import stacked_batch_sharding
@@ -115,7 +117,14 @@ class MipNeRFSystem:
         key = jax.random.PRNGKey(seed)
         params = self.model.init(key, _dummy_rays(), jax.random.PRNGKey(0),
                                  False, self.white_bkgd)
-        params = jax.device_put(params, self.param_sharding)
+        if self.mesh.shape.get('model', 1) > 1:
+            # Megatron-style tensor parallelism over the `model` axis: param
+            # shardings only — GSPMD derives activation shardings and the
+            # psum collectives (parallel/tp.py).
+            from mipnerf_pl_tpu.parallel.tp import shard_params_tp
+            params = shard_params_tp(params, self.mesh)
+        else:
+            params = jax.device_put(params, self.param_sharding)
         opt_state = self.tx.init(params)
         return {'params': params, 'opt_state': opt_state,
                 'step': jnp.zeros((), jnp.int32)}
