@@ -398,6 +398,7 @@ class MipNeRFSystem:
 
         t0 = time.time()
         rays_since_log = 0
+        val_cursor = 0
         step = start_step
         while step < max_steps:
             t_data = time.time()
@@ -438,9 +439,13 @@ class MipNeRFSystem:
 
             if step % val_interval == 0 or step >= max_steps:
                 t_val = time.time()
+                # Cycle through val images across validations (reference
+                # behaviour: the val dataset advances an internal counter,
+                # datasets/datasets.py:79-81).
                 _, val_psnr = self.validate(
                     state, val_sample_num, writer=writer,
-                    global_step=step, start_index=0)
+                    global_step=step, start_index=val_cursor)
+                val_cursor += val_sample_num
                 prof.add('validate', time.time() - t_val)
                 t_ckpt = time.time()
                 host_state = jax.device_get(state)
