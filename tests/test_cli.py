@@ -79,3 +79,45 @@ def test_multiscale_fit(tmp_path):
     state = system.fit(multi, 'multi_blender', str(tmp_path / 'out'),
                        max_steps=8, verbose=False)
     assert int(state['step']) == 8
+
+
+def test_graft_entry_dryrun():
+    """The driver's multichip dryrun must work on the virtual CPU mesh."""
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)   # dp=4 x tp=2
+    g.dryrun_multichip(3)   # odd -> pure dp
+
+
+def test_eval_cli_multiscale(tmp_path):
+    """eval.py --scale 2 on a converted multi-scale set: per-resolution
+    buckets and the bucketed summary line."""
+    from mipnerf_pl_tpu.data.convert import convert_to_nerfdata
+
+    scene = make_blender_scene(str(tmp_path / 's'), n_frames=2, size=8)
+    multi = str(tmp_path / 'multi')
+    convert_to_nerfdata(scene, multi, n_down=2)
+
+    hp = tiny_hparams()
+    hp['val.check_interval'] = 5
+    out_dir = str(tmp_path / 'out')
+    system = MipNeRFSystem(hp)
+    system.fit(multi, 'multi_blender', out_dir, max_steps=5, verbose=False)
+
+    import eval as eval_cli
+    args = argparse.Namespace(
+        ckpt=os.path.join(out_dir, 'ckpt', 'test'), data=multi,
+        out_dir=str(tmp_path / 'eval'), chunk_size=64, white_bkgd=True,
+        save_image=True, summa_only=False, scale=2, base_size=[8, 8],
+        no_video=True)
+    eval_cli.main(args)
+    exp_dir = os.path.join(str(tmp_path / 'eval'), 'test', 'test')
+    # 2 test images x 2 scales = 4 metric entries
+    psnrs = open(os.path.join(exp_dir, 'psnrs.txt')).read().split()
+    assert len(psnrs) == 4
+    # per-scale image buckets
+    assert os.listdir(os.path.join(exp_dir, '1'))
+    assert os.listdir(os.path.join(exp_dir, '2'))
+
+    from mipnerf_pl_tpu.utils.metrics import summarize_results
+    line = summarize_results(str(tmp_path / 'eval'), ['test'], 2)
+    assert len(line.split(' | ')[0].split(' ')) == 2  # 2 buckets
