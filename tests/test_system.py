@@ -157,3 +157,24 @@ def test_auto_resume_after_crash(tmp_path, scene):
     state2 = MipNeRFSystem(hp2).fit(scene, 'blender', out_dir, max_steps=5,
                                     verbose=False)
     assert int(state2['step']) == 5
+
+
+def test_checkpoint_topk_retention(tmp_path, system, scene):
+    """save_top_k=2 keeps the two best-PSNR checkpoints and drops the worst;
+    `last` always keeps only the most recent."""
+    from mipnerf_pl_tpu.train.ckpt import CheckpointManager
+    if system.train_dataset is None:
+        system.setup(scene, 'blender', prefetch=0)
+    host_state = jax.device_get(system.init_state())
+
+    mgr = CheckpointManager(str(tmp_path / 'ckpt'), hparams=system.hparams,
+                            save_top_k=2)
+    mgr.save(1, host_state, val_psnr=10.0)
+    mgr.save(2, host_state, val_psnr=30.0)
+    mgr.save(3, host_state, val_psnr=20.0)
+    mgr.wait()
+    best_steps = sorted(int(s) for s in os.listdir(tmp_path / 'ckpt' / 'best'))
+    assert best_steps == [2, 3]      # psnr 30 and 20 survive; 10 dropped
+    last_steps = [int(s) for s in os.listdir(tmp_path / 'ckpt' / 'last')]
+    assert last_steps == [3]
+    mgr.close()
