@@ -67,3 +67,9 @@ def test_roundtrip_save_load(tmp_path):
     cfg2 = config_lib.load(str(out))
     assert cfg2['custom.tuple'] == (1, 2, 3)
     assert cfg2['train.batch_size'] == cfg['train.batch_size']
+
+
+def test_real360_yaml_loads():
+    cfg = config_lib.load(os.path.join(CONFIGS, 'real360.yaml'))
+    assert cfg['nerf.unbounded'] is True
+    assert cfg['exp_name'] == 'real360'

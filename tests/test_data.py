@@ -155,3 +155,15 @@ def test_sphere_scene_synthesis(tmp_path):
     imgs = ds.images.reshape(3, 16 * 16, 3)
     for img in imgs:
         assert img.min() < 0.9  # some non-background pixels
+
+
+def test_blender_factor2_downsample(blender_root):
+    """factor=2 half-resolution path (cv2 INTER_AREA) keeps ray geometry."""
+    ds = Blender(blender_root, split='val', batch_type='single_image',
+                 factor=2)
+    rays, img = ds[0]
+    assert img.shape == (SIZE // 2, SIZE // 2, 3)
+    assert rays.origins.shape == (SIZE // 2, SIZE // 2, 3)
+    # focal halves with resolution -> viewdirs still unit norm
+    np.testing.assert_allclose(np.linalg.norm(rays.viewdirs, axis=-1), 1.0,
+                               atol=1e-5)
