@@ -91,6 +91,8 @@ class MipNerf(nn.Module):
     # 'xla' (default, fused by the compiler) or 'pallas' (the hand-written
     # kernels in mipnerf_pl_tpu.kernels) for the IPE encode.
     ipe_backend: str = 'xla'
+    # 'xla' or 'pallas' (fused VMEM megakernel, kernels/mlp.py) for the MLP.
+    mlp_backend: str = 'xla'
 
     def setup(self):
         mlp_cls = nn.remat(MLP) if self.remat == 'mlp' else MLP
@@ -104,6 +106,7 @@ class MipNerf(nn.Module):
             num_density_channels=self.mlp_num_density_channels,
             net_activation=self.mlp_net_activation,
             compute_dtype=self.compute_dtype,
+            backend=self.mlp_backend,
         )
 
     def _rgb_act(self, x):
@@ -233,4 +236,5 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         remat=str(hparams.get('train.remat', 'none')),
         unbounded=bool(hparams.get('nerf.unbounded', False)),
         ipe_backend=str(hparams.get('nerf.ipe_backend', 'xla')),
+        mlp_backend=str(hparams.get('nerf.mlp_backend', 'xla')),
     )

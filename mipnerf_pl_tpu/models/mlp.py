@@ -28,8 +28,29 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+class _DenseParams(nn.Module):
+    """Owns a Dense layer's params without computing — lets the fused
+    Pallas backend share the exact same parameter tree as the XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param('kernel', nn.initializers.xavier_uniform(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param('bias', nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class MLP(nn.Module):
-    """Coordinate MLP mapping encoded cone-Gaussians to (raw_rgb, raw_density)."""
+    """Coordinate MLP mapping encoded cone-Gaussians to (raw_rgb, raw_density).
+
+    backend='pallas' evaluates the whole network with the fused VMEM
+    megakernel (kernels/mlp.py): weights resident on-chip, activations never
+    written to HBM, backward recomputed in-VMEM.  Parameter trees are
+    identical between backends (checkpoints interchangeable).
+    """
 
     net_depth: int = 8
     net_width: int = 256
@@ -40,6 +61,7 @@ class MLP(nn.Module):
     num_density_channels: int = 1
     net_activation: str = 'relu'
     compute_dtype: Any = jnp.float32
+    backend: str = 'xla'
 
     def _act(self, x):
         if self.net_activation == 'relu':
@@ -69,6 +91,8 @@ class MLP(nn.Module):
           raw_density: [batch, num_samples, num_density_channels] (float32)
         """
         num_samples = x.shape[-2]
+        if self.backend == 'pallas' and view_direction is not None:
+            return self._call_pallas(x, view_direction)
         x = x.astype(self.compute_dtype)
         inputs = x
         for i in range(self.net_depth):
@@ -89,3 +113,42 @@ class MLP(nn.Module):
         # Heads return float32 regardless of compute dtype: the activations /
         # compositing downstream are precision-critical.
         return raw_rgb.astype(jnp.float32), raw_density.astype(jnp.float32)
+
+    def _call_pallas(self, x, view_direction):
+        """Fused-megakernel evaluation (kernels/mlp.py)."""
+        from mipnerf_pl_tpu.kernels.mlp import fused_mlp
+
+        assert self.net_activation == 'relu', 'pallas backend is ReLU-only'
+        num_samples = x.shape[-2]
+        xyz_dim = x.shape[-1]
+        view_dim = view_direction.shape[-1]
+
+        # Declare the identical parameter tree Dense would own.
+        flat = []
+        dim_in = xyz_dim
+        for i in range(self.net_depth):
+            k, b = _DenseParams(self.net_width, name=f'trunk_{i}')(dim_in)
+            flat += [k, b.reshape(1, -1)]
+            dim_in = self.net_width
+            if i % self.skip_index == 0 and i > 0:
+                dim_in = self.net_width + xyz_dim
+        k, b = _DenseParams(self.num_density_channels, name='density')(dim_in)
+        flat += [k, b.reshape(1, -1)]
+        k, b = _DenseParams(self.net_width, name='bottleneck')(dim_in)
+        flat += [k, b.reshape(1, -1)]
+        dim_v = self.net_width + view_dim
+        for j in range(self.net_depth_condition):
+            k, b = _DenseParams(self.net_width_condition, name=f'view_{j}')(dim_v)
+            flat += [k, b.reshape(1, -1)]
+            dim_v = self.net_width_condition
+        k, b = _DenseParams(self.num_rgb_channels, name='rgb')(dim_v)
+        flat += [k, b.reshape(1, -1)]
+
+        x2 = x.reshape(-1, xyz_dim)
+        view2 = jnp.repeat(view_direction, num_samples, axis=0)
+        rgb, dens = fused_mlp(x2, view2, tuple(flat), self.net_depth,
+                              self.net_depth_condition, self.skip_index,
+                              self.compute_dtype)
+        lead = x.shape[:-1]
+        return (rgb.reshape(*lead, self.num_rgb_channels),
+                dens.reshape(*lead, self.num_density_channels))

@@ -1,0 +1,148 @@
+"""Tests for the fused Pallas MLP megakernel vs the Flax reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mipnerf_pl_tpu.kernels.mlp import flatten_params, fused_mlp
+from mipnerf_pl_tpu.models.mlp import MLP
+
+CFG = dict(net_depth=4, net_width=32, net_depth_condition=1,
+           net_width_condition=16, skip_index=2)
+
+
+def _setup(M=700, xdim=24, vdim=11, seed=0, cfg=CFG):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(M, 1, xdim)).astype(np.float32))
+    view = jnp.asarray(rng.normal(size=(M, vdim)).astype(np.float32))
+    mlp = MLP(**cfg, compute_dtype=jnp.float32)
+    params = mlp.init(jax.random.PRNGKey(0), x, view)
+    flat = flatten_params(params['params'], cfg['net_depth'],
+                          cfg['net_depth_condition'])
+    # Per-point layout for the kernel: fold samples into rows, broadcast view.
+    x2 = x.reshape(-1, xdim)
+    view2 = jnp.repeat(view, x.shape[1], axis=0)
+    return mlp, params, flat, x, view, x2, view2
+
+
+def test_fused_mlp_forward_matches_flax():
+    mlp, params, flat, x, view, x2, view2 = _setup()
+    want_rgb, want_dens = mlp.apply(params, x, view)
+    rgb, dens = fused_mlp(x2, view2, tuple(flat), CFG['net_depth'],
+                          CFG['net_depth_condition'], CFG['skip_index'],
+                          jnp.float32, True)
+    np.testing.assert_allclose(np.asarray(rgb),
+                               np.asarray(want_rgb).reshape(-1, 3),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dens),
+                               np.asarray(want_dens).reshape(-1, 1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mlp_gradients_match_flax():
+    mlp, params, flat, x, view, x2, view2 = _setup(M=320)
+    rng = np.random.default_rng(1)
+    g_rgb = jnp.asarray(rng.normal(size=(320, 3)).astype(np.float32))
+    g_dens = jnp.asarray(rng.normal(size=(320, 1)).astype(np.float32))
+
+    def loss_flax(p, x, v):
+        rgb, dens = mlp.apply(p, x, v)
+        return (jnp.sum(rgb.reshape(-1, 3) * g_rgb)
+                + jnp.sum(dens.reshape(-1, 1) * g_dens))
+
+    def loss_fused(flat, x2, v2):
+        rgb, dens = fused_mlp(x2, v2, flat, CFG['net_depth'],
+                              CFG['net_depth_condition'], CFG['skip_index'],
+                              jnp.float32, True)
+        return jnp.sum(rgb * g_rgb) + jnp.sum(dens * g_dens)
+
+    gp_flax, gx_flax, gv_flax = jax.grad(loss_flax, argnums=(0, 1, 2))(
+        params, x, view)
+    gflat_fused, gx_fused, gv_fused = jax.grad(
+        loss_fused, argnums=(0, 1, 2))(tuple(flat), x2, view2)
+
+    # dx / dview
+    np.testing.assert_allclose(np.asarray(gx_fused),
+                               np.asarray(gx_flax).reshape(-1, x2.shape[1]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv_fused),
+                               np.asarray(gv_flax), rtol=2e-4, atol=2e-4)
+
+    # parameter grads (flatten flax grads in the same order)
+    gflat_flax = flatten_params(gp_flax['params'], CFG['net_depth'],
+                                CFG['net_depth_condition'])
+    for got, want in zip(gflat_fused, gflat_flax):
+        np.testing.assert_allclose(np.asarray(got).reshape(want.shape),
+                                   np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_padding_does_not_corrupt_grads():
+    """M not a multiple of the row tile: padded rows must not leak into the
+    weight gradients."""
+    mlp, params, flat, x, view, x2, view2 = _setup(M=513)  # 513 = 512 + 1
+
+    def loss(flat):
+        rgb, dens = fused_mlp(x2, view2, flat, CFG['net_depth'],
+                              CFG['net_depth_condition'], CFG['skip_index'],
+                              jnp.float32, True)
+        return jnp.sum(rgb ** 2) + jnp.sum(dens ** 2)
+
+    def loss_flax(p):
+        rgb, dens = mlp.apply(p, x, view)
+        return jnp.sum(rgb ** 2) + jnp.sum(dens ** 2)
+
+    g_fused = jax.grad(loss)(tuple(flat))
+    g_flax = flatten_params(jax.grad(loss_flax)(params)['params'],
+                            CFG['net_depth'], CFG['net_depth_condition'])
+    for got, want in zip(g_fused, g_flax):
+        np.testing.assert_allclose(np.asarray(got).reshape(want.shape),
+                                   np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_full_size_shapes():
+    """Lego-size architecture traces and runs in interpret mode."""
+    cfg = dict(net_depth=8, net_width=256, net_depth_condition=1,
+               net_width_condition=128, skip_index=4)
+    mlp, params, flat, x, view, x2, view2 = _setup(
+        M=64, xdim=96, vdim=27, cfg=cfg)
+    rgb, dens = fused_mlp(x2, view2, tuple(flat), 8, 1, 4, jnp.float32, True)
+    want_rgb, want_dens = mlp.apply(params, x, view)
+    np.testing.assert_allclose(np.asarray(rgb),
+                               np.asarray(want_rgb).reshape(-1, 3),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_model_pallas_mlp_backend_matches_xla():
+    """MipNerf(mlp_backend='pallas') must match the XLA model with the SAME
+    params (trees are interchangeable) in outputs and parameter gradients."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2)
+    rays = random_rays(8)
+    m_x = MipNerf(**kw, mlp_backend='xla')
+    m_p = MipNerf(**kw, mlp_backend='pallas')
+    params_x = m_x.init(jax.random.PRNGKey(0), rays, None, False, True)
+    params_p = m_p.init(jax.random.PRNGKey(0), rays, None, False, True)
+    # identical trees (paths and shapes) and identical values (same init key)
+    assert (jax.tree_util.tree_structure(params_x)
+            == jax.tree_util.tree_structure(params_p))
+    for a, b in zip(jax.tree.leaves(params_x), jax.tree.leaves(params_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    r_x = m_x.apply(params_x, rays, jax.random.PRNGKey(1), False, True)
+    r_p = m_p.apply(params_x, rays, jax.random.PRNGKey(1), False, True)
+    np.testing.assert_allclose(np.asarray(r_p[-1].rgb),
+                               np.asarray(r_x[-1].rgb), rtol=1e-5, atol=1e-5)
+
+    def loss(model, p):
+        ret = model.apply(p, rays, jax.random.PRNGKey(2), True, True)
+        return sum(jnp.mean(lv.rgb ** 2) for lv in ret)
+
+    g_x = jax.grad(lambda p: loss(m_x, p))(params_x)
+    g_p = jax.grad(lambda p: loss(m_p, p))(params_x)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)
