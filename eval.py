@@ -25,7 +25,7 @@ parser.add_argument('--save_image', help='whether save predicted image',
 parser.add_argument('--summa_only', help='Only summarize results',
                     action='store_true')
 parser.add_argument('--scale', help='eval scale', type=int, required=True,
-                    choices=[1, 4])
+                    choices=[1, 2, 4])
 parser.add_argument('--base_size', help='source image size', type=int,
                     nargs=2, default=[800, 800])
 parser.add_argument('--no_video', help='skip video generation',
