@@ -18,8 +18,12 @@ parser.add_argument("--out_dir", help="Output directory.", type=str,
                     required=True)
 parser.add_argument("--chunk_size", help="Chunk size for render.", type=int,
                     default=12288)
-parser.add_argument("--white_bkgd", help="Use white background.", type=bool,
-                    default=True)
+def _str2bool(v):
+    return str(v).lower() not in ('false', '0', 'no')
+
+
+parser.add_argument("--white_bkgd", help="Use white background.",
+                    type=_str2bool, default=True)
 parser.add_argument('--save_image', help='whether save predicted image',
                     action='store_true')
 parser.add_argument('--summa_only', help='Only summarize results',
@@ -47,6 +51,9 @@ def main(args):
         return [exp_name]
 
     system = MipNeRFSystem(hparams)
+    # Reference parity (eval.py:61): the CLI's --white_bkgd drives the
+    # render compositing (dataset compositing still follows the ckpt hparams).
+    system.white_bkgd = bool(args.white_bkgd)
     _, state = restore_for_eval(args.ckpt, system.abstract_state())
 
     test_dataset = dataset_dict[hparams['dataset_name']](

@@ -308,16 +308,41 @@ class RealData360(BaseDataset):
         self.h, self.w = self.images[0].shape[:2]
         self.n_examples = len(self.images)
 
+    # COLMAP model_id -> (name, num_params); intrinsics layouts differ.
+    _COLMAP_MODELS = {
+        0: ('SIMPLE_PINHOLE', 3),   # f, cx, cy
+        1: ('PINHOLE', 4),          # fx, fy, cx, cy
+        2: ('SIMPLE_RADIAL', 4),    # f, cx, cy, k
+        3: ('RADIAL', 5),           # f, cx, cy, k1, k2
+        4: ('OPENCV', 8),           # fx, fy, cx, cy, k1, k2, p1, p2
+    }
+
     def _read_camera(self):
-        # COLMAP cameras.bin header: num_cameras, then (id, model, w, h) + params.
+        # COLMAP cameras.bin: num_cameras, then per camera
+        # (camera_id i32, model_id i32, width u64, height u64, params f64...).
         with open(path.join(self.data_dir, 'sparse', '0', 'cameras.bin'),
                   'rb') as fid:
             struct.unpack('<Q', fid.read(8))
-            struct.unpack('<iiQQ', fid.read(24))
-            params = struct.unpack('<dddd', fid.read(32))
-            self.K = np.array([[params[0], 0, params[2]],
-                               [0, params[1], params[3]],
-                               [0, 0, 1]])
+            _, model_id, _, _ = struct.unpack('<iiQQ', fid.read(24))
+            if model_id not in self._COLMAP_MODELS:
+                raise ValueError(f'unsupported COLMAP camera model id '
+                                 f'{model_id}')
+            name, n_params = self._COLMAP_MODELS[model_id]
+            params = struct.unpack('<' + 'd' * n_params,
+                                   fid.read(8 * n_params))
+            if name in ('SIMPLE_PINHOLE', 'SIMPLE_RADIAL', 'RADIAL'):
+                fx = fy = params[0]
+                cx, cy = params[1], params[2]
+                distortion = params[3:]
+            else:  # PINHOLE / OPENCV
+                fx, fy, cx, cy = params[:4]
+                distortion = params[4:]
+            if any(abs(d) > 1e-12 for d in distortion):
+                import warnings
+                warnings.warn(
+                    f'COLMAP {name} distortion {distortion} ignored — '
+                    'undistort images first for accurate rays')
+            self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
 
     def _generate_rays(self):
         x, y = np.meshgrid(np.arange(self.w, dtype=np.float32) + 0.5,

@@ -44,6 +44,7 @@ class TrainBatcher:
         self._queue: Optional[queue.Queue] = None
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
         if prefetch > 0:
             self._queue = queue.Queue(maxsize=prefetch)
             self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -69,21 +70,38 @@ class TrainBatcher:
             np.ascontiguousarray(pixels))
 
     def _producer(self):
-        while not self._stop.is_set():
-            batch = self._make_batch()
+        try:
             while not self._stop.is_set():
-                try:
-                    self._queue.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                batch = self._make_batch()
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surface producer failures to the consumer
+            self._error = e
+            self._stop.set()
 
     def __iter__(self) -> Iterator:
         return self
 
     def __next__(self):
         if self._queue is not None:
-            return self._queue.get()
+            while True:
+                if self._error is not None:
+                    raise RuntimeError(
+                        'TrainBatcher producer thread failed') from self._error
+                try:
+                    return self._queue.get(timeout=5.0)
+                except queue.Empty:
+                    if self._error is None and not self._stop.is_set():
+                        continue
+                    if self._error is not None:
+                        raise RuntimeError(
+                            'TrainBatcher producer thread failed'
+                        ) from self._error
+                    raise RuntimeError('TrainBatcher closed')
         return self._make_batch()
 
     def close(self):

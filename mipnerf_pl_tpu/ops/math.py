@@ -258,8 +258,6 @@ def track_linearize(means, covs_diag_or_full):
     batched with vmap — TPU-compilable.
     Returns (means', covs' [..., 3, 3]).
     """
-    import jax
-
     orig_shape = means.shape
     means_flat = means.reshape(-1, 3)
     if covs_diag_or_full.shape == orig_shape:           # diagonal covs

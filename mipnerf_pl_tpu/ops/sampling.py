@@ -170,6 +170,16 @@ def sorted_piecewise_constant_pdf(key, bins, weights, num_samples: int,
     return samples
 
 
+def _blurpool(weights, resample_padding: float):
+    """Max-filter adjacent pairs then 2-tap average, plus the Dirichlet
+    padding (reference models/mip.py:252-257) — shared by both resamplers."""
+    weights_pad = jnp.concatenate(
+        [weights[..., :1], weights, weights[..., -1:]], axis=-1)
+    weights_max = jnp.maximum(weights_pad[..., :-1], weights_pad[..., 1:])
+    weights_blur = 0.5 * (weights_max[..., :-1] + weights_max[..., 1:])
+    return weights_blur + resample_padding
+
+
 def resample_along_rays_360(key, origins, directions, radii, t_inv, weights,
                             randomized: bool, ray_shape: str, stop_grad: bool,
                             resample_padding: float):
@@ -183,11 +193,7 @@ def resample_along_rays_360(key, origins, directions, radii, t_inv, weights,
 
     Returns (new_t_inv [B, N+1] descending, (means, covs [..., 3, 3])).
     """
-    weights_pad = jnp.concatenate(
-        [weights[..., :1], weights, weights[..., -1:]], axis=-1)
-    weights_max = jnp.maximum(weights_pad[..., :-1], weights_pad[..., 1:])
-    weights_blur = 0.5 * (weights_max[..., :-1] + weights_max[..., 1:])
-    weights_blur = weights_blur + resample_padding
+    weights_blur = _blurpool(weights, resample_padding)
 
     # t_inv descends from 1/near to 1/far; the PDF sampler needs ascending
     # bins, so sample in flipped space and flip back.
@@ -215,12 +221,7 @@ def resample_along_rays(key, origins, directions, radii, t_samples, weights,
     Returns:
       (new_t_samples [B, N+1], (means, covs)).
     """
-    # Blurpool: max-filter of adjacent pairs then 2-tap average (models/mip.py:252-254).
-    weights_pad = jnp.concatenate(
-        [weights[..., :1], weights, weights[..., -1:]], axis=-1)
-    weights_max = jnp.maximum(weights_pad[..., :-1], weights_pad[..., 1:])
-    weights_blur = 0.5 * (weights_max[..., :-1] + weights_max[..., 1:])
-    weights_blur = weights_blur + resample_padding
+    weights_blur = _blurpool(weights, resample_padding)
 
     new_t_samples = sorted_piecewise_constant_pdf(
         key, t_samples, weights_blur, t_samples.shape[-1], randomized)

@@ -2,9 +2,9 @@
 
 The reference has no TP (SURVEY.md §2.3 — DP only, and at a 256-wide trunk
 TP buys nothing on one host).  It exists here so wider MLPs scale beyond a
-chip's MXU/HBM: the trunk follows the Megatron pairing — odd layers
-column-parallel (kernel sharded on the output dim), even layers
-row-parallel (kernel sharded on the input dim) — expressed purely as
+chip's MXU/HBM: the trunk follows the Megatron pairing — even-indexed
+layers column-parallel (kernel sharded on the output dim), odd-indexed
+layers row-parallel (kernel sharded on the input dim) — expressed purely as
 `NamedSharding`s on the parameter pytree.  XLA GSPMD derives the
 activation shardings and inserts the psum/all-gather collectives over ICI;
 there is no hand-written collective code.
@@ -43,8 +43,10 @@ def _spec_for(path: str, leaf) -> P:
         return P('model') if col else P()
 
     if 'bottleneck' in path or re.search(r"view_\d+", path):
-        # Single layers: column-parallel outputs would leave the following
-        # tiny head sharded awkwardly; shard the large input contraction.
+        # Column-parallel (output dim sharded): the fat [W, W] / [W+Fv, Wv]
+        # matmuls split across chips; the tiny rgb/density heads downstream
+        # read the gathered activations (an all-gather GSPMD inserts —
+        # acceptable at head width 3/1).
         if leaf.ndim == 2:
             return P(None, 'model')
         return P('model')

@@ -117,17 +117,30 @@ class MipNeRFSystem:
         key = jax.random.PRNGKey(seed)
         params = self.model.init(key, _dummy_rays(), jax.random.PRNGKey(0),
                                  False, self.white_bkgd)
-        if self.mesh.shape.get('model', 1) > 1:
-            # Megatron-style tensor parallelism over the `model` axis: param
-            # shardings only — GSPMD derives activation shardings and the
-            # psum collectives (parallel/tp.py).
-            from mipnerf_pl_tpu.parallel.tp import shard_params_tp
-            params = shard_params_tp(params, self.mesh)
-        else:
-            params = jax.device_put(params, self.param_sharding)
+        params = self._place_params(params)
         opt_state = self.tx.init(params)
         return {'params': params, 'opt_state': opt_state,
                 'step': jnp.zeros((), jnp.int32)}
+
+    def _place_params(self, params):
+        """Mesh placement for params: TP shardings when the model axis is
+        active (Megatron-style, parallel/tp.py — GSPMD derives activation
+        shardings and the psum collectives), replicated otherwise."""
+        if self.mesh.shape.get('model', 1) > 1:
+            from mipnerf_pl_tpu.parallel.tp import shard_params_tp
+            return shard_params_tp(params, self.mesh)
+        return jax.device_put(params, self.param_sharding)
+
+    def place_state(self, state):
+        """Place a restored host state on the mesh with the run's layout.
+
+        In TP mode the params AND the optimizer moments (whose leaf paths
+        mirror the params') get the Megatron shardings — a resumed TP run
+        must not silently fall back to replicated layout."""
+        if self.mesh.shape.get('model', 1) > 1:
+            from mipnerf_pl_tpu.parallel.tp import mlp_param_shardings
+            return jax.device_put(state, mlp_param_shardings(state, self.mesh))
+        return jax.device_put(state, self.param_sharding)
 
     def abstract_state(self):
         """Abstract {params, opt_state, step} pytree (no device memory)."""
@@ -175,8 +188,19 @@ class MipNeRFSystem:
         for level in ret:
             mse = jnp.sum(mask * (level.rgb - pixels[..., :3]) ** 2) / mask_sum
             losses.append(mse)
-            dists.append(distloss(level.weights, level.t_samples)
-                         if use_dist else jnp.zeros(()))
+            if use_dist:
+                w, t = level.weights, level.t_samples
+                if self.model.unbounded:
+                    # t_samples carries DESCENDING t_inv in unbounded mode;
+                    # distloss requires ascending bins (its prefix-sum
+                    # identity negates on descending input) — flip both.
+                    # Regularizing in inverse-depth (s-)space is the
+                    # mip-NeRF-360 formulation.
+                    w = jnp.flip(w, axis=-1)
+                    t = jnp.flip(t, axis=-1)
+                dists.append(distloss(w, t))
+            else:
+                dists.append(jnp.zeros(()))
             psnrs.append(calc_psnr(level.rgb, pixels[..., :3]))
 
         loss = losses[-1] + self.distloss_mult * dists[-1]
@@ -381,7 +405,7 @@ class MipNeRFSystem:
             from mipnerf_pl_tpu.train.ckpt import restore_for_eval
             start_step, state = restore_for_eval(
                 resume_from, self.abstract_state(), prefer_best=False)
-            state = jax.device_put(state, self.param_sharding)
+            state = self.place_state(state)
             if verbose:
                 print(f'resumed from {resume_from} at step {start_step}',
                       flush=True)

@@ -63,6 +63,7 @@ def run_render(args):
     hparams = load_hparams(args.ckpt)
     exp_name = hparams['exp_name']
     system = MipNeRFSystem(hparams)
+    system.white_bkgd = bool(args.white_bkgd)
     _, state = restore_for_eval(args.ckpt, system.abstract_state())
 
     for i in range(args.scale):
@@ -92,7 +93,9 @@ if __name__ == '__main__':
     parser.add_argument("--out_dir", help="Output directory.", type=str,
                         required=True)
     parser.add_argument("--chunk_size", type=int, default=12288)
-    parser.add_argument("--white_bkgd", type=bool, default=True)
+    parser.add_argument("--white_bkgd",
+                        type=lambda v: str(v).lower() not in
+                        ('false', '0', 'no'), default=True)
     parser.add_argument("--render_images_dir", type=str, default=None,
                         help="already rendered image directory.")
     parser.add_argument('--scale', help='number of scales', type=int,

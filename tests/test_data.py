@@ -167,3 +167,17 @@ def test_blender_factor2_downsample(blender_root):
     # focal halves with resolution -> viewdirs still unit norm
     np.testing.assert_allclose(np.linalg.norm(rays.viewdirs, axis=-1), 1.0,
                                atol=1e-5)
+
+
+def test_batcher_surfaces_producer_errors():
+    """A failing producer thread must raise in the consumer, not hang."""
+    class BadDataset:
+        def sample_batch(self, rng, n):
+            raise ValueError('boom')
+
+    batcher = TrainBatcher(BadDataset(), batch_size=4, prefetch=1)
+    try:
+        with pytest.raises(RuntimeError, match='producer thread failed'):
+            next(batcher)
+    finally:
+        batcher.close()

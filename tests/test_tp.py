@@ -62,3 +62,20 @@ def test_tp_multi_step_scan(tmp_path):
     state, aux = tm(state, rays, pixels, jax.random.PRNGKey(0))
     assert int(state['step']) == 3
     assert np.all(np.isfinite(np.asarray(aux['loss'])))
+
+
+def test_place_state_restores_tp_layout():
+    """Resume must re-establish TP shardings for params AND optimizer
+    moments (regression: resumed TP runs fell back to replicated)."""
+    hp = tiny_hparams()
+    hp['parallel.model_axis'] = 2
+    system = MipNeRFSystem(hp)
+    state = system.init_state()
+    host = jax.device_get(state)
+    placed = system.place_state(host)
+    trunk0 = placed['params']['params']['mlp']['trunk_0']['kernel']
+    assert not trunk0.sharding.is_fully_replicated
+    # adam mu for the same kernel follows the params layout
+    mu0 = jax.tree.leaves(
+        placed['opt_state'][0].mu['params']['mlp']['trunk_0'])[1 - 1]
+    assert not mu0.sharding.is_fully_replicated

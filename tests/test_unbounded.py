@@ -87,3 +87,34 @@ def test_unbounded_jit_compiles():
     fwd = jax.jit(lambda p, r, k: model.apply(p, r, k, True, False))
     ret = fwd(params, rays, jax.random.PRNGKey(0))
     assert ret[-1].rgb.shape == (8, 3)
+
+
+def test_unbounded_distloss_is_positive():
+    """Regression: descending t_inv bins fed to distloss negated the
+    regularizer (training would maximize distortion).  The training loss
+    path must flip to ascending order first."""
+    from mipnerf_pl_tpu.train.system import MipNeRFSystem
+    from tests.helpers import tiny_hparams
+
+    hp = tiny_hparams()
+    hp['nerf.unbounded'] = True
+    system = MipNeRFSystem(hp)
+    rays = _far_rays(16)
+    params = system.model.init(jax.random.PRNGKey(0), rays, None, False,
+                               False)
+    pixels = np.zeros((16, 3), np.float32)
+    _, aux = system.loss_fn(params, rays, pixels, jax.random.PRNGKey(1))
+    assert float(aux['train/distloss_fine']) > 0.0
+
+
+def test_distloss_negates_on_descending_bins():
+    """Documents why the flip is needed: the O(N) identity assumes sorted
+    ascending bins."""
+    from mipnerf_pl_tpu.ops.render import distloss
+    rng = np.random.default_rng(0)
+    w = rng.uniform(0, 1, size=(4, 8)).astype(np.float32)
+    t = np.sort(rng.uniform(1, 5, size=(4, 9)).astype(np.float32), -1)
+    asc = float(distloss(w, t))
+    desc = float(distloss(np.flip(w, -1).copy(), np.flip(t, -1).copy()))
+    assert asc > 0
+    np.testing.assert_allclose(desc, -asc, rtol=1e-5)
