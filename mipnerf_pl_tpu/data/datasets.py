@@ -138,6 +138,8 @@ class Multicam(BaseDataset):
 
     def __init__(self, data_dir, split='train', white_bkgd=True,
                  batch_type='all_images', factor=0):
+        # factor accepted for ctor uniformity; multi-scale data carries its
+        # own per-image resolutions.
         super().__init__(data_dir, split, white_bkgd, batch_type)
         self._init_split()
 

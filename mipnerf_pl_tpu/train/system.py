@@ -16,7 +16,6 @@ with the masked multi-scale MSE  (mask * (rgb - gt)^2).sum() / mask.sum().
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any, Dict, Optional, Tuple
@@ -158,14 +157,18 @@ class MipNeRFSystem:
               steps_per_call: int = 1):
         from mipnerf_pl_tpu.parallel.mesh import stacked_batch_sharding
         dataset_cls = dataset_dict[dataset_name]
+        extra = {}
+        factor = self.hparams.get('data.factor')
+        if factor is not None and str(factor) != 'None':
+            extra['factor'] = int(factor)
         self.train_dataset = dataset_cls(
             data_dir=data_path, split='train',
             white_bkgd=self.hparams['train.white_bkgd'],
-            batch_type=self.hparams['train.batch_type'])
+            batch_type=self.hparams['train.batch_type'], **extra)
         self.val_dataset = dataset_cls(
             data_dir=data_path, split='val',
             white_bkgd=self.hparams['val.white_bkgd'],
-            batch_type=self.hparams['val.batch_type'])
+            batch_type=self.hparams['val.batch_type'], **extra)
         sharding = (stacked_batch_sharding(self.mesh) if steps_per_call > 1
                     else self.batch_sharding)
         self.batcher = TrainBatcher(
