@@ -93,7 +93,12 @@ class MLP(nn.Module):
         num_samples = x.shape[-2]
         if self.backend == 'pallas' and view_direction is not None:
             return self._call_pallas(x, view_direction)
-        x = x.astype(self.compute_dtype)
+        # Flatten [.., N, F] -> [M, F]: XLA lowers 3-D Dense ops to TPU
+        # convolutions with poorly-fused bias broadcasts and pad-based
+        # concats (verified in the optimized HLO); plain 2-D rows become
+        # clean matmuls the compiler fuses properly.
+        lead = x.shape[:-1]
+        x = x.reshape(-1, x.shape[-1]).astype(self.compute_dtype)
         inputs = x
         for i in range(self.net_depth):
             x = self._act(self._dense(self.net_width, f'trunk_{i}')(x))
@@ -103,16 +108,16 @@ class MLP(nn.Module):
 
         if view_direction is not None:
             bottleneck = self._dense(self.net_width, 'bottleneck')(x)
-            view = jnp.broadcast_to(
-                view_direction[..., None, :].astype(self.compute_dtype),
-                (*bottleneck.shape[:-2], num_samples, view_direction.shape[-1]))
+            view = jnp.repeat(view_direction.astype(self.compute_dtype),
+                              num_samples, axis=0)
             x = jnp.concatenate([bottleneck, view], axis=-1)
             for i in range(self.net_depth_condition):
                 x = self._act(self._dense(self.net_width_condition, f'view_{i}')(x))
         raw_rgb = self._dense(self.num_rgb_channels, 'rgb')(x)
         # Heads return float32 regardless of compute dtype: the activations /
         # compositing downstream are precision-critical.
-        return raw_rgb.astype(jnp.float32), raw_density.astype(jnp.float32)
+        return (raw_rgb.reshape(*lead, self.num_rgb_channels).astype(jnp.float32),
+                raw_density.reshape(*lead, self.num_density_channels).astype(jnp.float32))
 
     def _call_pallas(self, x, view_direction):
         """Fused-megakernel evaluation (kernels/mlp.py)."""
