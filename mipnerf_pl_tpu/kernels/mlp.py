@@ -31,6 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _ROW_TILE = 512
+# The saved-activation backward streams 10 extra input tiles; a smaller row
+# tile keeps its working set under the 16 MB VMEM limit.
+_ROW_TILE_SAVED_BWD = 256
 
 
 def _resolve_interpret(interpret):
@@ -106,6 +109,143 @@ def _fwd_kernel(x_ref, view_ref, *refs, cfg):
     rgb, density, _, _ = _fwd_body(x, view, params, cfg)
     rgb_ref[:] = rgb
     dens_ref[:] = density
+
+
+# ---------------------------------------------------------------------------
+# 'save' mode: the forward kernel also streams the post-relu activations to
+# HBM (pipelined with compute), so the backward needs NO recompute — the
+# megakernel's per-FLOP efficiency at XLA's FLOP count.  Saved tensors:
+# h[i] (post-relu trunk outputs, [M, W] each), bottleneck [M, W], and the
+# post-relu view-branch outputs y[j] [M, Wv].  Everything else the backward
+# needs is derivable: layer inputs acts[i] = h[i-1] (+x concat), relu masks
+# = h[i] > 0, view_in = concat(bottleneck, view).
+# ---------------------------------------------------------------------------
+
+def _fwd_body_save(x, view, params, cfg):
+    net_depth = cfg['net_depth']
+    skip = cfg['skip_index']
+    nvd = cfg['net_depth_condition']
+    f32 = jnp.float32
+
+    def dense(h, i):
+        k, b = params[2 * i], params[2 * i + 1]
+        return jnp.dot(h, k, preferred_element_type=f32) + b.astype(f32)
+
+    hs, ys = [], []
+    h = x
+    inputs = x
+    for i in range(net_depth):
+        h = jnp.maximum(dense(h, i), 0.0).astype(x.dtype)
+        hs.append(h)
+        if i % skip == 0 and i > 0:
+            h = jnp.concatenate([h, inputs], axis=-1)
+    density = dense(h, net_depth)
+    bottleneck = dense(h, net_depth + 1).astype(x.dtype)
+    y = jnp.concatenate([bottleneck, view], axis=-1)
+    for j in range(nvd):
+        y = jnp.maximum(dense(y, net_depth + 2 + j), 0.0).astype(x.dtype)
+        ys.append(y)
+    rgb = dense(y, net_depth + 2 + nvd)
+    return rgb, density, hs, bottleneck, ys
+
+
+def _fwd_kernel_save(x_ref, view_ref, *refs, cfg):
+    n_params = cfg['n_params']
+    net_depth = cfg['net_depth']
+    nvd = cfg['net_depth_condition']
+    params = [r[:] for r in refs[:n_params]]
+    outs = refs[n_params:]
+    rgb_ref, dens_ref = outs[0], outs[1]
+    h_refs = outs[2:2 + net_depth]
+    bott_ref = outs[2 + net_depth]
+    y_refs = outs[3 + net_depth:3 + net_depth + nvd]
+
+    x = x_ref[:].astype(cfg['dtype'])
+    view = view_ref[:].astype(cfg['dtype'])
+    rgb, density, hs, bottleneck, ys = _fwd_body_save(x, view, params, cfg)
+    rgb_ref[:] = rgb
+    dens_ref[:] = density
+    for r, h in zip(h_refs, hs):
+        r[:] = h
+    bott_ref[:] = bottleneck
+    for r, y in zip(y_refs, ys):
+        r[:] = y
+
+
+def _bwd_kernel_saved(x_ref, view_ref, g_rgb_ref, g_dens_ref, *refs, cfg):
+    """Backward with saved activations: zero recompute matmuls."""
+    net_depth = cfg['net_depth']
+    skip = cfg['skip_index']
+    nvd = cfg['net_depth_condition']
+    n_params = cfg['n_params']
+    W = cfg['net_width']
+    dtype = cfg['dtype']
+    f32 = jnp.float32
+
+    params = [r[:] for r in refs[:n_params]]
+    saved = refs[n_params:n_params + net_depth + 1 + nvd]
+    h_saved = [r[:].astype(dtype) for r in saved[:net_depth]]
+    bottleneck = saved[net_depth][:].astype(dtype)
+    y_saved = [r[:].astype(dtype) for r in saved[net_depth + 1:]]
+    out_refs = refs[n_params + net_depth + 1 + nvd:]
+    dx_ref, dview_ref = out_refs[0], out_refs[1]
+    dparam_refs = out_refs[2:]
+
+    x = x_ref[:].astype(dtype)
+    view = view_ref[:].astype(dtype)
+    g_rgb = g_rgb_ref[:]
+    g_dens = g_dens_ref[:]
+
+    # Reconstruct layer inputs and masks from the saved tensors.
+    acts = []
+    h = x
+    for i in range(net_depth):
+        acts.append(h)
+        h = h_saved[i]
+        if i % skip == 0 and i > 0:
+            h = jnp.concatenate([h, x], axis=-1)
+    trunk_out = h
+    view_in = jnp.concatenate([bottleneck, view], axis=-1)
+    v_acts = [view_in] + y_saved[:-1] if nvd > 0 else []
+    rgb_in = y_saved[-1] if nvd > 0 else trunk_out
+
+    first = pl.program_id(0) == 0
+
+    def accum(idx, dk, db):
+        kr, br = dparam_refs[2 * idx], dparam_refs[2 * idx + 1]
+
+        @pl.when(first)
+        def _():
+            kr[:] = jnp.zeros(kr.shape, kr.dtype)
+            br[:] = jnp.zeros(br.shape, br.dtype)
+
+        kr[:] += dk
+        br[:] += db.reshape(1, -1)
+
+    def d_dense(idx, inp, g_out):
+        k = params[2 * idx]
+        dk = jnp.dot(inp.T, g_out.astype(dtype), preferred_element_type=f32)
+        db = jnp.sum(g_out, axis=0)
+        accum(idx, dk, db)
+        return jnp.dot(g_out.astype(dtype), k.T, preferred_element_type=f32)
+
+    g = d_dense(net_depth + 2 + nvd, rgb_in, g_rgb)
+    for j in reversed(range(nvd)):
+        g = jnp.where(y_saved[j].astype(f32) > 0.0, g, 0.0)
+        g = d_dense(net_depth + 2 + j, v_acts[j], g)
+    g_bottleneck = g[:, :W]
+    dview_ref[:] = g[:, W:]
+    g_trunk = d_dense(net_depth + 1, trunk_out, g_bottleneck)
+    g_trunk += d_dense(net_depth, trunk_out, g_dens)
+
+    g_x_extra = jnp.zeros(x.shape, dtype=f32)
+    for i in reversed(range(net_depth)):
+        if i % skip == 0 and i > 0:
+            g_x_extra += g_trunk[:, W:]
+            g_trunk = g_trunk[:, :W]
+        g_trunk = jnp.where(h_saved[i].astype(f32) > 0.0, g_trunk, 0.0)
+        g_trunk = d_dense(i, acts[i], g_trunk)
+    dx_ref[:] = g_trunk + g_x_extra
 
 
 # ---------------------------------------------------------------------------
@@ -293,37 +433,127 @@ def _run_bwd(x, view, g_rgb, g_dens, flat_params, cfg, interpret):
     return (outs[0][:M], outs[1][:M]) + tuple(outs[2:])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _run_fwd_save(x, view, flat_params, cfg, interpret):
+    M = x.shape[0]
+    Mp = ((M + _ROW_TILE - 1) // _ROW_TILE) * _ROW_TILE
+    x, view = _pad_rows(x, Mp), _pad_rows(view, Mp)
+    net_depth = cfg['net_depth']
+    nvd = cfg['net_depth_condition']
+    W = cfg['net_width']
+    Wv = flat_params[2 * (net_depth + 2)].shape[1]
+    nd = flat_params[2 * net_depth].shape[1]
+    dt = cfg['dtype']
+    grid = (Mp // _ROW_TILE,)
+    kernel = functools.partial(_fwd_kernel_save, cfg=cfg)
+    out_shape = (
+        [jax.ShapeDtypeStruct((Mp, 3), jnp.float32),
+         jax.ShapeDtypeStruct((Mp, nd), jnp.float32)]
+        + [jax.ShapeDtypeStruct((Mp, W), dt) for _ in range(net_depth)]
+        + [jax.ShapeDtypeStruct((Mp, W), dt)]
+        + [jax.ShapeDtypeStruct((Mp, Wv), dt) for _ in range(nvd)])
+    out_specs = ([_tile_spec(3), _tile_spec(nd)]
+                 + [_tile_spec(W) for _ in range(net_depth + 1)]
+                 + [_tile_spec(Wv) for _ in range(nvd)])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        grid=grid,
+        in_specs=([_tile_spec(x.shape[1]), _tile_spec(view.shape[1])]
+                  + [_full_spec() for _ in flat_params]),
+        out_specs=tuple(out_specs),
+        interpret=_resolve_interpret(interpret),
+    )(x, view, *flat_params)
+    rgb, dens = outs[0][:M], outs[1][:M]
+    saved = tuple(o[:M] for o in outs[2:])
+    return rgb, dens, saved
+
+
+def _tile_spec_t(width, tile):
+    return pl.BlockSpec((tile, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _run_bwd_saved(x, view, g_rgb, g_dens, flat_params, saved, cfg,
+                   interpret):
+    T = _ROW_TILE_SAVED_BWD
+    M = x.shape[0]
+    Mp = ((M + T - 1) // T) * T
+    x, view = _pad_rows(x, Mp), _pad_rows(view, Mp)
+    g_rgb, g_dens = _pad_rows(g_rgb, Mp), _pad_rows(g_dens, Mp)
+    saved = [_pad_rows(s, Mp) for s in saved]
+    grid = (Mp // T,)
+    kernel = functools.partial(_bwd_kernel_saved, cfg=cfg)
+    dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
+                     for p in flat_params]
+    dparam_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for p in flat_params]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Mp, x.shape[1]), jnp.float32),
+                   jax.ShapeDtypeStruct((Mp, view.shape[1]), jnp.float32),
+                   *dparam_shapes),
+        grid=grid,
+        in_specs=([_tile_spec_t(x.shape[1], T), _tile_spec_t(view.shape[1], T),
+                   _tile_spec_t(3, T), _tile_spec_t(g_dens.shape[1], T)]
+                  + [_full_spec() for _ in flat_params]
+                  + [_tile_spec_t(s.shape[1], T) for s in saved]),
+        out_specs=(_tile_spec_t(x.shape[1], T), _tile_spec_t(view.shape[1], T),
+                   *dparam_specs),
+        interpret=_resolve_interpret(interpret),
+    )(x, view, g_rgb, g_dens, *flat_params, *saved)
+    return (outs[0][:M], outs[1][:M]) + tuple(outs[2:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def fused_mlp(x, view, flat_params, net_depth: int, net_depth_condition: int,
-              skip_index: int, compute_dtype=jnp.bfloat16, interpret=None):
+              skip_index: int, compute_dtype=jnp.bfloat16, interpret=None,
+              mode: str = 'recompute'):
     """Fused Mip-NeRF MLP: (x [M, F], view [M, Fv], params) -> (rgb, density).
 
     Equivalent to models/mlp.py:MLP with use_viewdirs, with the view
     features pre-broadcast per point.  flat_params from `flatten_params`.
+
+    mode='recompute': backward recomputes activations in-VMEM (zero saved
+    tensors, +~50% MXU work).  mode='save': the forward streams post-relu
+    activations to HBM (pipelined with compute) and the backward does no
+    recompute.
     """
     cfg = _cfg(net_depth, net_depth_condition, skip_index,
                flat_params[0].shape[1], len(flat_params), compute_dtype)
     # Weights live in VMEM for the whole kernel: keep them in the compute
     # dtype (halves their footprint and runs native bf16 MXU passes).
     wparams = [p.astype(compute_dtype) for p in flat_params]
+    if mode == 'save':
+        rgb, dens, _ = _run_fwd_save(x, view, wparams, cfg, interpret)
+        return rgb, dens
     return _run_fwd(x, view, wparams, cfg, interpret)
 
 
 def _fused_mlp_fwd(x, view, flat_params, net_depth, net_depth_condition,
-                   skip_index, compute_dtype, interpret):
-    out = fused_mlp(x, view, flat_params, net_depth, net_depth_condition,
-                    skip_index, compute_dtype, interpret)
-    return out, (x, view, flat_params)
+                   skip_index, compute_dtype, interpret, mode):
+    cfg = _cfg(net_depth, net_depth_condition, skip_index,
+               flat_params[0].shape[1], len(flat_params), compute_dtype)
+    wparams = [p.astype(compute_dtype) for p in flat_params]
+    if mode == 'save':
+        rgb, dens, saved = _run_fwd_save(x, view, wparams, cfg, interpret)
+        return (rgb, dens), (x, view, flat_params, saved)
+    out = _run_fwd(x, view, wparams, cfg, interpret)
+    return out, (x, view, flat_params, None)
 
 
 def _fused_mlp_bwd(net_depth, net_depth_condition, skip_index, compute_dtype,
-                   interpret, res, g):
-    x, view, flat_params = res
+                   interpret, mode, res, g):
+    x, view, flat_params, saved = res
     g_rgb, g_dens = g
     cfg = _cfg(net_depth, net_depth_condition, skip_index,
                flat_params[0].shape[1], len(flat_params), compute_dtype)
     wparams = [p.astype(compute_dtype) for p in flat_params]
-    outs = _run_bwd(x, view, g_rgb, g_dens, wparams, cfg, interpret)
+    if mode == 'save':
+        outs = _run_bwd_saved(x, view, g_rgb, g_dens, wparams, saved, cfg,
+                              interpret)
+    else:
+        outs = _run_bwd(x, view, g_rgb, g_dens, wparams, cfg, interpret)
     dx, dview = outs[0], outs[1]
     dparams = [d.reshape(p.shape).astype(p.dtype)
                for d, p in zip(outs[2:], flat_params)]

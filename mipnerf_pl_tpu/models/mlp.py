@@ -91,7 +91,8 @@ class MLP(nn.Module):
           raw_density: [batch, num_samples, num_density_channels] (float32)
         """
         num_samples = x.shape[-2]
-        if self.backend == 'pallas' and view_direction is not None:
+        if (self.backend in ('pallas', 'pallas_save')
+                and view_direction is not None):
             return self._call_pallas(x, view_direction)
         # Flatten [.., N, F] -> [M, F]: XLA lowers 3-D Dense ops to TPU
         # convolutions with poorly-fused bias broadcasts and pad-based
@@ -151,9 +152,10 @@ class MLP(nn.Module):
 
         x2 = x.reshape(-1, xyz_dim)
         view2 = jnp.repeat(view_direction, num_samples, axis=0)
+        mode = 'save' if self.backend == 'pallas_save' else 'recompute'
         rgb, dens = fused_mlp(x2, view2, tuple(flat), self.net_depth,
                               self.net_depth_condition, self.skip_index,
-                              self.compute_dtype)
+                              self.compute_dtype, None, mode)
         lead = x.shape[:-1]
         return (rgb.reshape(*lead, self.num_rgb_channels),
                 dens.reshape(*lead, self.num_density_channels))

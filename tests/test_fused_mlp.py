@@ -146,3 +146,52 @@ def test_model_pallas_mlp_backend_matches_xla():
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_fused_mlp_save_mode_matches_recompute():
+    """'save' mode (activations streamed from fwd, zero recompute in bwd)
+    must match 'recompute' mode in outputs and all gradients."""
+    mlp, params, flat, x, view, x2, view2 = _setup(M=700)
+
+    def loss(flat, mode):
+        rgb, dens = fused_mlp(x2, view2, flat, CFG['net_depth'],
+                              CFG['net_depth_condition'], CFG['skip_index'],
+                              jnp.float32, True, mode)
+        return jnp.sum(rgb ** 2) + jnp.sum(dens ** 2), (rgb, dens)
+
+    (l_r, (rgb_r, dens_r)), g_r = jax.value_and_grad(
+        lambda f: loss(f, 'recompute'), has_aux=True)(tuple(flat))
+    (l_s, (rgb_s, dens_s)), g_s = jax.value_and_grad(
+        lambda f: loss(f, 'save'), has_aux=True)(tuple(flat))
+    np.testing.assert_allclose(np.asarray(rgb_s), np.asarray(rgb_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(l_s), float(l_r), rtol=1e-6)
+    for a, b in zip(g_s, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_model_pallas_save_backend():
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2)
+    rays = random_rays(8)
+    m_x = MipNerf(**kw, mlp_backend='xla')
+    m_s = MipNerf(**kw, mlp_backend='pallas_save')
+    params = m_x.init(jax.random.PRNGKey(0), rays, None, False, True)
+    r_x = m_x.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_s = m_s.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    np.testing.assert_allclose(np.asarray(r_s[-1].rgb),
+                               np.asarray(r_x[-1].rgb), rtol=1e-5, atol=1e-5)
+
+    def loss(model, p):
+        ret = model.apply(p, rays, jax.random.PRNGKey(2), True, True)
+        return sum(jnp.mean(lv.rgb ** 2) for lv in ret)
+
+    g_x = jax.grad(lambda p: loss(m_x, p))(params)
+    g_s = jax.grad(lambda p: loss(m_s, p))(params)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)
