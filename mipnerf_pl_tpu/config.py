@@ -21,7 +21,10 @@ from os.path import dirname, join
 
 import yaml
 
-DEFAULT_CONFIG_FILE = join(dirname(dirname(os.path.abspath(__file__))),
+# Shipped as package data so pip-installed wheels resolve it without a
+# source checkout; the repo root keeps a `configs/default.yaml` symlink for
+# CLI ergonomics.
+DEFAULT_CONFIG_FILE = join(dirname(os.path.abspath(__file__)),
                            'configs', 'default.yaml')
 
 

@@ -1,87 +1,122 @@
 """Multi-scale dataset generator (offline tool).
 
-Parity: reference datasets/convert_blender_data.py:10-117 — box-downsample
-each Blender image `n_down` times, write the pyramid plus a metadata.json
-holding per-image pix2cam/cam2world/width/height/lossmult(=4^j)/near/far.
+Produces the multi-scale NeRF layout consumed by `Multicam`
+(data contract: reference datasets/convert_blender_data.py:40-117): a
+2x box-filter image pyramid per source image plus one `metadata.json`
+with per-entry camera intrinsics as `pix2cam` matrices.
+
+Contract kept exactly (the dataset and eval bucketing depend on it):
+  * metadata.json keys per split: file_path, cam2world, width, height,
+    focal, label, near, far, lossmult, pix2cam;
+  * entry order is image-major, scale-minor (eval.py groups every
+    `--scale` consecutive entries into one resolution bucket);
+  * lossmult = 4^level, focal halves per level, near/far = 2/6.
+
+Implementation is this framework's own: the pyramid is computed
+vectorized over the whole image stack of a split at once, and pix2cam is
+obtained by building the forward camera->pixel matrix for the Blender
+camera convention and inverting it with numpy, rather than hand-writing
+the inverse entries.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from os import path
 
 import numpy as np
 from PIL import Image
 
+NEAR, FAR = 2.0, 6.0
+SPLITS = ('train', 'val', 'test')
+
 
 def load_renderings(data_dir: str, split: str) -> dict:
-    """Load images + cameras for one split of a Blender scene."""
-    with open(path.join(data_dir, f'transforms_{split}.json'), 'r') as fp:
+    """One split of a Blender scene as stacked arrays.
+
+    Returns {'images': [N, H, W, C] float32 in [0, 1],
+             'camtoworlds': [N, 4, 4], 'focal': float}.
+    """
+    with open(os.path.join(data_dir, f'transforms_{split}.json'), 'r') as fp:
         meta = json.load(fp)
-    images, cams = [], []
-    for frame in meta['frames']:
-        fname = os.path.join(data_dir, frame['file_path'] + '.png')
-        with open(fname, 'rb') as imgin:
-            images.append(np.array(Image.open(imgin), dtype=np.float32) / 255.0)
-        cams.append(frame['transform_matrix'])
-    ret = {
-        'images': np.stack(images, axis=0),
-        'camtoworlds': np.stack(cams, axis=0),
-    }
-    w = ret['images'].shape[2]
-    camera_angle_x = float(meta['camera_angle_x'])
-    ret['focal'] = 0.5 * w / np.tan(0.5 * camera_angle_x)
-    return ret
+    frames = meta['frames']
+    images = np.stack([
+        np.asarray(Image.open(os.path.join(data_dir,
+                                           fr['file_path'] + '.png')),
+                   dtype=np.float32) / 255.0
+        for fr in frames])
+    camtoworlds = np.stack([np.asarray(fr['transform_matrix'], np.float64)
+                            for fr in frames])
+    width = images.shape[2]
+    focal = 0.5 * width / np.tan(0.5 * float(meta['camera_angle_x']))
+    return {'images': images, 'camtoworlds': camtoworlds, 'focal': focal}
 
 
-def down2(img: np.ndarray) -> np.ndarray:
-    """2x box downsample."""
-    sh = img.shape
-    return np.mean(np.reshape(img, [sh[0] // 2, 2, sh[1] // 2, 2, -1]), (1, 3))
+def image_pyramid(stack: np.ndarray, n_levels: int) -> list:
+    """2x box-filter pyramid, vectorized over the whole [N, H, W, C] stack.
+
+    Level 0 is the input; each subsequent level averages 2x2 blocks.
+    """
+    levels = [stack]
+    for _ in range(n_levels - 1):
+        n, h, w, c = levels[-1].shape
+        levels.append(levels[-1]
+                      .reshape(n, h // 2, 2, w // 2, 2, c)
+                      .mean(axis=(2, 4)))
+    return levels
+
+
+def pix2cam_matrix(focal: float, width: int, height: int) -> np.ndarray:
+    """Inverse intrinsics for the Blender camera convention.
+
+    The forward map takes a camera-space direction (x right, y up,
+    looking down -z) to homogeneous pixel coordinates with y growing
+    downward; pix2cam is its matrix inverse, applied to pixel-center
+    coordinates (u + 0.5, v + 0.5, 1) by the ray generators.
+    """
+    cam2pix = np.array([
+        [focal, 0.0, -0.5 * width],
+        [0.0, -focal, -0.5 * height],
+        [0.0, 0.0, -1.0],
+    ])
+    return np.linalg.inv(cam2pix)
 
 
 def convert_to_nerfdata(basedir: str, newdir: str, n_down: int) -> None:
     """Convert one Blender scene into the multi-scale layout."""
     os.makedirs(newdir, exist_ok=True)
-    bigmeta = {}
-    for split in ('train', 'val', 'test'):
+    metadata = {}
+    for split in SPLITS:
         data = load_renderings(basedir, split)
         imgdir = f'images_{split}'
         os.makedirs(os.path.join(newdir, imgdir), exist_ok=True)
 
-        meta = {k: [] for k in ('file_path', 'cam2world', 'width', 'height',
-                                'focal', 'label', 'near', 'far', 'lossmult')}
-        f = data['focal']
-        for i, img in enumerate(data['images']):
-            for j in range(n_down):
-                fname = f'{imgdir}/{i:03d}_d{j}.png'
-                meta['file_path'].append(fname)
-                with open(os.path.join(newdir, fname), 'wb') as imgout:
-                    Image.fromarray(np.uint8(img * 255)).save(imgout)
-                meta['width'].append(img.shape[1])
-                meta['height'].append(img.shape[0])
-                meta['focal'].append(f / 2 ** j)
-                meta['cam2world'].append(data['camtoworlds'][i].tolist())
-                meta['lossmult'].append(4.0 ** j)
-                meta['label'].append(j)
-                meta['near'].append(2.0)
-                meta['far'].append(6.0)
-                img = down2(img)
+        pyramid = image_pyramid(data['images'], n_down)
+        entries = []
+        for i in range(len(data['images'])):
+            for level, stack in enumerate(pyramid):
+                img = stack[i]
+                fname = f'{imgdir}/{i:03d}_d{level}.png'
+                Image.fromarray(
+                    (img * 255.0).astype(np.uint8)).save(
+                        os.path.join(newdir, fname))
+                height, width = img.shape[:2]
+                focal = data['focal'] / 2.0 ** level
+                entries.append({
+                    'file_path': fname,
+                    'cam2world': data['camtoworlds'][i].tolist(),
+                    'width': width,
+                    'height': height,
+                    'focal': focal,
+                    'label': level,
+                    'near': NEAR,
+                    'far': FAR,
+                    'lossmult': 4.0 ** level,
+                    'pix2cam': pix2cam_matrix(focal, width, height).tolist(),
+                })
 
-        fx = np.array(meta['focal'])
-        fy = np.array(meta['focal'])
-        cx = np.array(meta['width']) * 0.5
-        cy = np.array(meta['height']) * 0.5
-        arr0 = np.zeros_like(cx)
-        arr1 = np.ones_like(cx)
-        k_inv = np.array([
-            [arr1 / fx, arr0, -cx / fx],
-            [arr0, -arr1 / fy, cy / fy],
-            [arr0, arr0, -arr1],
-        ])
-        meta['pix2cam'] = np.moveaxis(k_inv, -1, 0).tolist()
-        bigmeta[split] = meta
+        # Columnar layout (lists per key), as the Multicam loader expects.
+        metadata[split] = {k: [e[k] for e in entries] for k in entries[0]}
 
-    with open(os.path.join(newdir, 'metadata.json'), 'w') as f:
-        json.dump(bigmeta, f, ensure_ascii=False, indent=4)
+    with open(os.path.join(newdir, 'metadata.json'), 'w') as fp:
+        json.dump(metadata, fp, indent=4)

@@ -32,6 +32,7 @@ from typing import List, Optional
 import numpy as np
 from PIL import Image
 
+from mipnerf_pl_tpu.data.poses import recenter_poses, spherify_poses
 from mipnerf_pl_tpu.rays import Rays, namedtuple_map
 
 
@@ -139,7 +140,13 @@ class Multicam(BaseDataset):
     def __init__(self, data_dir, split='train', white_bkgd=True,
                  batch_type='all_images', factor=0):
         # factor accepted for ctor uniformity; multi-scale data carries its
-        # own per-image resolutions.
+        # own per-image resolutions, so a requested downsample cannot apply.
+        if factor:
+            import warnings
+            warnings.warn(
+                f'Multicam ignores data.factor={factor}: multi-scale data '
+                'carries per-image resolutions in metadata.json',
+                stacklevel=2)
         super().__init__(data_dir, split, white_bkgd, batch_type)
         self._init_split()
 
@@ -294,8 +301,8 @@ class RealData360(BaseDataset):
         images = np.moveaxis(images, -1, 0)
         bds = np.moveaxis(bds, -1, 0).astype(np.float32)
 
-        poses = self._recenter_poses(poses)
-        poses = self._spherify_poses(poses)
+        poses = recenter_poses(poses)
+        poses = spherify_poses(poses)
         i_test = np.arange(images.shape[0])[::8]
         indices = (np.array([i for i in range(images.shape[0]) if i not in i_test])
                    if self.split == 'train' else i_test)
@@ -371,62 +378,6 @@ class RealData360(BaseDataset):
             lossmult=[np.ones_like(o[..., :1]) for o in origins],
             near=per_image_scalar(self.bds[:, 0]),
             far=per_image_scalar(self.bds[:, 1]))
-
-    # -- pose utilities (numpy, parity with reference :384-474) ---------------
-    @staticmethod
-    def _normalize(x):
-        return x / np.linalg.norm(x)
-
-    def _viewmatrix(self, z, up, pos):
-        vec2 = self._normalize(z)
-        vec0 = self._normalize(np.cross(up, vec2))
-        vec1 = self._normalize(np.cross(vec2, vec0))
-        return np.stack([vec0, vec1, vec2, pos], 1)
-
-    def _poses_avg(self, poses):
-        hwf = poses[0, :3, -1:]
-        center = poses[:, :3, 3].mean(0)
-        vec2 = self._normalize(poses[:, :3, 2].sum(0))
-        up = poses[:, :3, 1].sum(0)
-        return np.concatenate([self._viewmatrix(vec2, up, center), hwf], 1)
-
-    def _recenter_poses(self, poses):
-        poses_ = poses.copy()
-        bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-        c2w = self._poses_avg(poses)
-        c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-        bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
-        poses_h = np.concatenate([poses[:, :3, :4], bottom], -2)
-        poses_h = np.linalg.inv(c2w) @ poses_h
-        poses_[:, :3, :4] = poses_h[:, :3, :4]
-        return poses_
-
-    def _spherify_poses(self, poses):
-        p34_to_44 = lambda p: np.concatenate([
-            p, np.tile(np.reshape(np.eye(4)[-1], [1, 1, 4]), [p.shape[0], 1, 1])
-        ], 1)
-        rays_d = poses[:, :3, 2:3]
-        rays_o = poses[:, :3, 3:4]
-
-        a_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-        b_i = -a_i @ rays_o
-        pt_mindist = np.squeeze(-np.linalg.inv(
-            (np.transpose(a_i, [0, 2, 1]) @ a_i).mean(0)) @ b_i.mean(0))
-
-        center = pt_mindist
-        up = (poses[:, :3, 3] - center).mean(0)
-        vec0 = self._normalize(up)
-        vec1 = self._normalize(np.cross([0.1, 0.2, 0.3], vec0))
-        vec2 = self._normalize(np.cross(vec0, vec1))
-        c2w = np.stack([vec1, vec2, vec0, center], 1)
-        poses_reset = (np.linalg.inv(p34_to_44(c2w[None]))
-                       @ p34_to_44(poses[:, :3, :4]))
-        poses_reset = np.concatenate([
-            poses_reset[:, :3, :4],
-            np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)
-        ], -1)
-        return poses_reset
-
 
 dataset_dict = {
     'blender': Blender,

@@ -107,8 +107,17 @@ class TrainBatcher:
     def close(self):
         self._stop.set()
         if self._queue is not None:
-            try:
-                while True:
-                    self._queue.get_nowait()
-            except queue.Empty:
-                pass
+            # Drain until the producer has observed the stop flag and exited;
+            # a put racing a single drain pass could otherwise leave one batch
+            # pinned on device.
+            while True:
+                try:
+                    while True:
+                        self._queue.get_nowait()
+                except queue.Empty:
+                    pass
+                if self._thread is None or not self._thread.is_alive():
+                    break
+                self._thread.join(timeout=0.1)
+        elif self._thread is not None:
+            self._thread.join(timeout=5.0)

@@ -10,10 +10,11 @@ row-tiles of points through the trunk entirely on-chip, and write only the
 VMEM f32 scratch across the sequential TPU grid.
 
 Supports the reference architecture exactly (models/mip_nerf.py:14-111):
-`net_depth` ReLU trunk with one skip-concat after layer `skip_index`,
-density head, bottleneck, `net_depth_condition` view layers, rgb head.
-Restrictions (asserted): one skip concat (net_depth <= 2*skip_index),
-viewdirs required.
+`net_depth` ReLU trunk with skip-concats every `skip_index` layers (the
+kernel generalizes over multiple skips), density head, bottleneck,
+`net_depth_condition` view layers, rgb head.  Restrictions: ReLU-only
+(asserted at the call site in models/mlp.py) and viewdirs required
+(kernel signature takes the viewdir features unconditionally).
 
 HBM traffic per level at the lego shape: ~190 MB total (x tile reads twice
 + dx write + heads) vs XLA's ~3 GB.  MXU work: forward twice + backward.

@@ -68,15 +68,6 @@ class MLP(nn.Module):
             return nn.relu(x)
         raise NotImplementedError(self.net_activation)
 
-    def _dense(self, features: int, name: str):
-        return nn.Dense(
-            features,
-            name=name,
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.xavier_uniform(),
-        )
-
     @nn.compact
     def __call__(self, x, view_direction: Optional[jnp.ndarray] = None):
         """Evaluate the MLP.
@@ -99,22 +90,62 @@ class MLP(nn.Module):
         # concats (verified in the optimized HLO); plain 2-D rows become
         # clean matmuls the compiler fuses properly.
         lead = x.shape[:-1]
-        x = x.reshape(-1, x.shape[-1]).astype(self.compute_dtype)
+        cd = self.compute_dtype
+
+        def dense(name, features, *xs):
+            """y = concat(xs) @ kernel + bias WITHOUT the concat: the kernel
+            keeps the concatenated-input layout [sum(F_i), features] (param
+            tree identical to nn.Dense on the concat), but each input hits
+            its own row-slice in a separate MXU pass.  Materializing the
+            concat costs a lane-padded [M, 384] f32 round-trip per level at
+            the lego shape (352- and 283-wide inputs both pad to 384);
+            summing partial matmuls keeps every operand a clean tile."""
+            dim_in = sum(t.shape[-1] for t in xs)
+            k, b = _DenseParams(features, name=name)(dim_in)
+            out, off = b.astype(cd), 0
+            for t in xs:
+                out = out + t @ k[off:off + t.shape[-1]].astype(cd)
+                off += t.shape[-1]
+            return out
+
+        x = x.reshape(-1, x.shape[-1]).astype(cd)
         inputs = x
+        skip = None   # set to the encoded inputs right after a skip layer
         for i in range(self.net_depth):
-            x = self._act(self._dense(self.net_width, f'trunk_{i}')(x))
-            if i % self.skip_index == 0 and i > 0:
-                x = jnp.concatenate([x, inputs], axis=-1)
-        raw_density = self._dense(self.num_density_channels, 'density')(x)
+            parts = (x,) if skip is None else (x, skip)
+            x = self._act(dense(f'trunk_{i}', self.net_width, *parts))
+            skip = inputs if (i % self.skip_index == 0 and i > 0) else None
+
+        trunk_parts = (x,) if skip is None else (x, skip)
+        raw_density = dense('density', self.num_density_channels,
+                            *trunk_parts)
 
         if view_direction is not None:
-            bottleneck = self._dense(self.net_width, 'bottleneck')(x)
-            view = jnp.repeat(view_direction.astype(self.compute_dtype),
-                              num_samples, axis=0)
-            x = jnp.concatenate([bottleneck, view], axis=-1)
+            bottleneck = dense('bottleneck', self.net_width, *trunk_parts)
+            view = view_direction.astype(cd)
             for i in range(self.net_depth_condition):
-                x = self._act(self._dense(self.net_width_condition, f'view_{i}')(x))
-        raw_rgb = self._dense(self.num_rgb_channels, 'rgb')(x)
+                if i == 0:
+                    # The view features are shared by all samples of a ray:
+                    # project them ONCE per ray ([B, F_v] rows) and
+                    # broadcast-add into the bottleneck projection, instead
+                    # of repeating the features to [B*N, F_v] (reference
+                    # models/mip_nerf.py:106 repeats, then matmuls at B*N).
+                    w = self.net_width_condition
+                    k, b = _DenseParams(w, name='view_0')(
+                        self.net_width + view.shape[-1])
+                    per_sample = bottleneck @ k[:self.net_width].astype(cd)
+                    per_ray = view @ k[self.net_width:].astype(cd) \
+                        + b.astype(cd)
+                    x = per_sample.reshape(-1, num_samples, w) \
+                        + per_ray[:, None, :]
+                    x = self._act(x.reshape(-1, w))
+                else:
+                    x = self._act(dense(f'view_{i}',
+                                        self.net_width_condition, x))
+            rgb_parts = (x,)
+        else:
+            rgb_parts = trunk_parts
+        raw_rgb = dense('rgb', self.num_rgb_channels, *rgb_parts)
         # Heads return float32 regardless of compute dtype: the activations /
         # compositing downstream are precision-critical.
         return (raw_rgb.reshape(*lead, self.num_rgb_channels).astype(jnp.float32),

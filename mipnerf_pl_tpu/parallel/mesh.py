@@ -14,13 +14,44 @@ reference's 256-wide trunk TP is counterproductive (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mipnerf_pl_tpu.rays import Rays, namedtuple_map
+
+
+def maybe_initialize_distributed(hparams) -> bool:
+    """Multi-host (pod) plumbing: `jax.distributed.initialize()` gated on
+    `parallel.multi_host`.
+
+    On a TPU pod slice each host runs this same program; after
+    initialization `jax.devices()` returns the GLOBAL device list, so
+    `create_mesh` spans the pod and the pjit-sharded train step's psum
+    rides ICI/DCN (SURVEY.md §2.3) with no further code changes.  The
+    coordinator address / process count / process id are auto-detected on
+    TPU pods; explicit values (for GPU/CPU clusters) come from the
+    parallel.* keys.
+
+    The reference is single-host-only (its DDP plumbing assumes one
+    machine, reference train.py:48-62); this is beyond-parity and inert by
+    default.  Returns True iff initialize() was called.
+    """
+    def _get(key):
+        v = hparams.get(key)
+        return None if v is None or str(v) == 'None' else v
+
+    if not _get('parallel.multi_host'):
+        return False
+    kwargs = {}
+    if _get('parallel.coordinator_address') is not None:
+        kwargs['coordinator_address'] = str(_get('parallel.coordinator_address'))
+    if _get('parallel.num_processes') is not None:
+        kwargs['num_processes'] = int(_get('parallel.num_processes'))
+    if _get('parallel.process_id') is not None:
+        kwargs['process_id'] = int(_get('parallel.process_id'))
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def create_mesh(num_devices: int = 0, model_axis: int = 1,
@@ -64,9 +95,3 @@ def shard_rays(rays: Rays, sharding: NamedSharding) -> Rays:
 def pad_batch_to_devices(n: int, num_devices: int) -> int:
     """Smallest multiple of num_devices >= n (static-shape friendly)."""
     return ((n + num_devices - 1) // num_devices) * num_devices
-
-
-def local_mesh_context(mesh: Optional[Mesh]):
-    """Context manager entering the mesh (or a no-op when mesh is None)."""
-    import contextlib
-    return mesh or contextlib.nullcontext()

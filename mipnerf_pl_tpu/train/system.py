@@ -61,6 +61,16 @@ class SimpleProfiler:
         return '\n'.join(lines)
 
 
+def profiler_supported() -> bool:
+    """jax.profiler works on the standard cpu/gpu/tpu backends; on tunneled
+    plugin platforms (e.g. the 'axon' relay in this environment)
+    start_trace hangs, so profiling is skipped unless forced with
+    MIPNERF_FORCE_PROFILE=1 (SURVEY.md §5 tracing row)."""
+    if os.environ.get('MIPNERF_FORCE_PROFILE'):
+        return True
+    return jax.default_backend() in ('cpu', 'gpu', 'tpu')
+
+
 def _dummy_rays(batch_size: int = 4) -> Rays:
     o = jnp.zeros((batch_size, 3), jnp.float32)
     d = jnp.concatenate([jnp.zeros((batch_size, 2)),
@@ -292,13 +302,20 @@ class MipNeRFSystem:
         if self._render_chunk is None:
             @jax.jit
             def _render(params, rays_stack, key):
-                def one(rays):
-                    ret = self.model.apply(params, rays, key,
+                n_chunks = jax.tree_util.tree_leaves(rays_stack)[0].shape[0]
+
+                def one(args):
+                    idx, rays = args
+                    # Per-chunk key: with val.randomized=True every chunk
+                    # gets independent sample jitter (the reference's global
+                    # RNG advances per chunk; a shared key would not).
+                    ret = self.model.apply(params, rays,
+                                           jax.random.fold_in(key, idx),
                                            self.val_randomized,
                                            self.white_bkgd)
                     coarse, fine = ret[0], ret[-1]
                     return (coarse.rgb, fine.rgb, fine.distance, fine.acc)
-                return jax.lax.map(one, rays_stack)
+                return jax.lax.map(one, (jnp.arange(n_chunks), rays_stack))
             self._render_chunk = _render
         return self._render_chunk
 
@@ -423,9 +440,21 @@ class MipNeRFSystem:
             donate=bool(hp.get('train.donate_buffers', True)))
         prof = SimpleProfiler()
 
+        # --profile N: wrap one steady-state K-step dispatch in a
+        # jax.profiler trace written to the TB logdir.  Degrades gracefully:
+        # skipped with a message on platforms where start_trace hangs.
+        profile_steps = int(hp.get('profile', 0) or 0)
+        if profile_steps > 0 and not profiler_supported():
+            print(f'--profile: jax.profiler unsupported on the '
+                  f'{jax.default_backend()!r} backend here; skipping '
+                  f'(set MIPNERF_FORCE_PROFILE=1 to force)', flush=True)
+            profile_steps = 0
+        trace_dir = os.path.join(out_dir, 'logs', exp_name, 'plugins')
+
         t0 = time.time()
         rays_since_log = 0
         val_cursor = 0
+        dispatch_index = 0
         step = start_step
         while step < max_steps:
             t_data = time.time()
@@ -441,8 +470,26 @@ class MipNeRFSystem:
                 # Ragged final call: slice the stack (one extra compile, once).
                 rays = namedtuple_map(lambda x: x[:k], rays)
                 pixels = pixels[:k]
+            if profile_steps > 0 and dispatch_index == 1:
+                # Second dispatch = warmed executable (the first compiles).
+                try:
+                    with jax.profiler.trace(trace_dir):
+                        for _ in range(max(1, (profile_steps + k - 1) // k)):
+                            state, aux = train_many(state, rays, pixels,
+                                                    base_key)
+                            step += k
+                        jax.block_until_ready(aux['loss'])
+                    print(f'--profile: trace written to {trace_dir}',
+                          flush=True)
+                except Exception as e:  # never let tracing kill training
+                    print(f'--profile: trace failed ({e}); continuing',
+                          flush=True)
+                profile_steps = 0
+                dispatch_index += 1
+                continue
             state, aux = train_many(state, rays, pixels, base_key)
             prof.add('train_dispatch', time.time() - t_step)
+            dispatch_index += 1
             step += k
             rays_since_log += self.batch_size * k
 

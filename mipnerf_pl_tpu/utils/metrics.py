@@ -98,29 +98,27 @@ def eval_errors(pred_color, batch_pixels):
 
 def summarize_results(folder: str, scene_names, num_buckets: int) -> str:
     """Aggregate psnrs.txt/ssims.txt across scenes into the README-style
-    'PSNR | SSIM | Average' line (per-scale means + the paper average)."""
-    metric_names = ['psnrs', 'ssims']
-    precisions = [4, 4, 4, 4]
+    'PSNR | SSIM | Average' line.
 
-    results = []
-    for scene_name in scene_names:
-        values = []
-        for metric_name in metric_names:
-            filename = os.path.join(folder, 'test', scene_name,
-                                    f'{metric_name}.txt')
-            with open(filename) as f:
-                v = np.array([float(s) for s in f.readline().split(' ')])
-                values.append(np.mean(np.reshape(v, [-1, num_buckets]), 0))
-        results.append(np.concatenate(values))
-    avg_results = np.mean(np.array(results), 0)
+    Output contract (reference utils/metrics.py:129-155): per-scale PSNR
+    means, then per-scale SSIM means, then the mip-NeRF paper's "average"
+    metric — the geometric mean of the mean MSE (from PSNR) and the mean
+    sqrt(1 - SSIM) — all at 4 decimals, ' | '-separated.
+    """
+    def per_scale_means(metric: str) -> np.ndarray:
+        rows = []
+        for scene in scene_names:
+            path = os.path.join(folder, 'test', scene, f'{metric}.txt')
+            vals = np.atleast_1d(np.loadtxt(path))
+            rows.append(vals.reshape(-1, num_buckets).mean(axis=0))
+        return np.mean(rows, axis=0)
 
-    psnr, ssim_v = np.mean(np.reshape(avg_results, [-1, num_buckets]), 1)
-    mse = np.exp(-0.1 * np.log(10.0) * psnr)
-    dssim = np.sqrt(1 - ssim_v)
-    avg_avg = np.exp(np.mean(np.log(np.array([mse, dssim]))))
+    psnr = per_scale_means('psnrs')
+    ssim_v = per_scale_means('ssims')
 
-    s = []
-    for i, v in enumerate(np.reshape(avg_results, [-1, num_buckets])):
-        s.append(' '.join([f'{x:0.{precisions[i]}f}' for x in v]))
-    s.append(f'{avg_avg:0.{precisions[-1]}f}')
-    return ' | '.join(s)
+    mse = 10.0 ** (-psnr.mean() / 10.0)
+    dssim = np.sqrt(1.0 - ssim_v.mean())
+    overall = np.sqrt(mse * dssim)   # exp(mean(log([mse, dssim])))
+
+    fmt = lambda row: ' '.join(f'{x:0.4f}' for x in row)
+    return ' | '.join([fmt(psnr), fmt(ssim_v), f'{overall:0.4f}'])

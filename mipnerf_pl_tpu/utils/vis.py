@@ -74,77 +74,85 @@ def stack_rgb(rgb_gt, coarse_rgb, fine_rgb) -> np.ndarray:
 # Camera path generation
 # --------------------------------------------------------------------------
 
+def _look_at_poses(centers: np.ndarray, targets: np.ndarray,
+                   up_hint) -> np.ndarray:
+    """Camera-to-world stack from positions looking at targets: [n, 3, 4].
+
+    Convention: columns [right, up, forward] with forward = center - target
+    (cameras view along -forward, the OpenGL/NeRF convention).
+    """
+    fwd = centers - targets
+    fwd = fwd / np.linalg.norm(fwd, axis=-1, keepdims=True)
+    right = np.cross(np.broadcast_to(up_hint, fwd.shape), fwd)
+    right = right / np.linalg.norm(right, axis=-1, keepdims=True)
+    up = np.cross(fwd, right)
+    return np.stack([right, up, fwd, centers], axis=-1)
+
+
 def create_spiral_poses(radii, focus_depth, n_poses: int = 120) -> np.ndarray:
-    """Spiral path of [n_poses, 3, 4] camera-to-world matrices (LLFF-style)."""
-    poses_spiral = []
-    for t in np.linspace(0, 4 * np.pi, n_poses + 1)[:-1]:
-        center = np.array([np.cos(t), -np.sin(t), -np.sin(0.5 * t)]) * radii
-        z = normalize(center - np.array([0, 0, -focus_depth]))
-        y_ = np.array([0, 1, 0])
-        x = normalize(np.cross(y_, z))
-        y = np.cross(z, x)
-        poses_spiral.append(np.stack([x, y, z, center], 1))
-    return np.stack(poses_spiral, 0)
+    """Spiral path of [n_poses, 3, 4] camera-to-world matrices.
+
+    Convention contract (LLFF ecosystem): two in-plane turns with one
+    vertical oscillation (t in [0, 4pi), z at half rate), per-axis scaled by
+    `radii`, every camera looking at (0, 0, -focus_depth) with +y up.
+    """
+    t = np.linspace(0.0, 4.0 * np.pi, n_poses + 1)[:-1, None]
+    centers = np.concatenate(
+        [np.cos(t), -np.sin(t), -np.sin(0.5 * t)], axis=-1) * radii
+    return _look_at_poses(centers,
+                          targets=np.array([0.0, 0.0, -focus_depth]),
+                          up_hint=np.array([0.0, 1.0, 0.0]))
 
 
 def create_spheric_poses(radius: float, n_poses: int = 120) -> np.ndarray:
-    """Circular orbit around +z looking 36 degrees downwards: [n, 3, 4]."""
+    """Circular orbit of [n, 3, 4] poses looking at the origin.
 
-    def spheric_pose(theta, phi, radius):
-        trans_t = lambda t: np.array([
-            [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, t], [0, 0, 0, 1]])
-        rot_phi = lambda phi: np.array([
-            [1, 0, 0, 0],
-            [0, np.cos(phi), -np.sin(phi), 0],
-            [0, np.sin(phi), np.cos(phi), 0],
-            [0, 0, 0, 1]])
-        rot_theta = lambda th: np.array([
-            [np.cos(th), 0, -np.sin(th), 0],
-            [0, 1, 0, 0],
-            [np.sin(th), 0, np.cos(th), 0],
-            [0, 0, 0, 1]])
-        c2w = rot_theta(theta) @ rot_phi(phi) @ trans_t(radius)
-        c2w = np.array([[-1, 0, 0, 0], [0, 0, 1, 0],
-                        [0, 1, 0, 0], [0, 0, 0, 1]]) @ c2w
-        return c2w[:3]
+    Convention contract (reference video path): cameras sit on a circle of
+    radius `radius * cos(pi/5)` in the xy-plane at height
+    `radius * sin(pi/5)` (i.e. elevation 36 degrees), each looking at the
+    world origin.  Closed-form basis (derivable from a look-at with the
+    orbit's tangent as the right vector):
 
-    return np.stack([
-        spheric_pose(th, -np.pi / 5, radius)
-        for th in np.linspace(0, 2 * np.pi, n_poses + 1)[:-1]
-    ], 0)
+      right   = (-cos t,  sin t,       0)
+      up      = (-sin t * sin e, -cos t * sin e, cos e)   e = pi/5 elevation
+      forward = ( sin t * cos e,  cos t * cos e, sin e) = center / radius
+    """
+    elev = np.pi / 5.0
+    t = np.linspace(0.0, 2.0 * np.pi, n_poses + 1)[:-1]
+    st, ct = np.sin(t), np.cos(t)
+    zeros, ones = np.zeros_like(t), np.ones_like(t)
+    se, ce = np.sin(elev), np.cos(elev)
+    right = np.stack([-ct, st, zeros], axis=-1)
+    up = np.stack([-st * se, -ct * se, ce * ones], axis=-1)
+    forward = np.stack([st * ce, ct * ce, se * ones], axis=-1)
+    return np.stack([right, up, forward, radius * forward], axis=-1)
 
 
 def gen_render_path(c2ws: np.ndarray, n_views: int = 30) -> np.ndarray:
-    """Interpolate between keyframe poses (Euler-angle lerp), [*, 4, 4]."""
+    """Smooth closed loop through keyframe poses: [*, 4, 4].
+
+    Piecewise-linear interpolation of positions and of xyz Euler angles
+    (angles unwrapped to within 180 degrees of the first keyframe so
+    segments never take the long way around), n_views//3 steps per segment
+    including the wrap-around back to the first pose.
+    """
     from scipy.spatial.transform import Rotation as R
     n = len(c2ws)
-    rotvec, positions = [], []
-    rotvec_interp, positions_interp = [], []
-    weight = np.linspace(1.0, 0.0, n_views // 3, endpoint=False).reshape(-1, 1)
-    for i in range(n):
-        r = R.from_matrix(c2ws[i, :3, :3])
-        euler = r.as_euler('xyz', degrees=True).reshape(1, 3)
-        if i:
-            mask = np.abs(euler - rotvec[0]) > 180
-            euler[mask] += 360.0
-        rotvec.append(euler)
-        positions.append(c2ws[i, :3, 3:].reshape(1, 3))
-        if i:
-            rotvec_interp.append(weight * rotvec[i - 1] + (1 - weight) * rotvec[i])
-            positions_interp.append(
-                weight * positions[i - 1] + (1 - weight) * positions[i])
-    rotvec_interp.append(weight * rotvec[-1] + (1 - weight) * rotvec[0])
-    positions_interp.append(weight * positions[-1] + (1 - weight) * positions[0])
+    eulers = R.from_matrix(c2ws[:, :3, :3]).as_euler('xyz', degrees=True)
+    eulers += 360.0 * (np.abs(eulers - eulers[0]) > 180.0)
+    positions = c2ws[:, :3, 3]
 
-    c2ws_render = []
-    angles = np.concatenate(rotvec_interp)
-    pos = np.concatenate(positions_interp)
-    for rv, p in zip(angles, pos):
-        c2w = np.eye(4)
-        c2w[:3, :3] = R.from_euler('xyz', rv, degrees=True).as_matrix()
-        c2w[:3, 3:] = p.reshape(3, 1)
-        c2ws_render.append(c2w.copy())
-    return np.stack(c2ws_render)
+    # [n, k] lerp weights: segment i runs keyframe i -> i+1 (mod n).
+    w = np.linspace(1.0, 0.0, n_views // 3, endpoint=False)[None, :, None]
+    nxt = np.roll(np.arange(n), -1)
+    e_path = (w * eulers[:, None] + (1 - w) * eulers[nxt][:, None])
+    p_path = (w * positions[:, None] + (1 - w) * positions[nxt][:, None])
+    e_path, p_path = e_path.reshape(-1, 3), p_path.reshape(-1, 3)
+
+    out = np.broadcast_to(np.eye(4), (len(e_path), 4, 4)).copy()
+    out[:, :3, :3] = R.from_euler('xyz', e_path, degrees=True).as_matrix()
+    out[:, :3, 3] = p_path
+    return out
 
 
 def vis_lr(lr_fn, max_steps: int, out_path: str = None):

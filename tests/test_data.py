@@ -4,7 +4,7 @@ multi-scale conversion, batch sampling, render paths."""
 import numpy as np
 import pytest
 
-from mipnerf_pl_tpu.data.convert import convert_to_nerfdata, down2
+from mipnerf_pl_tpu.data.convert import convert_to_nerfdata, image_pyramid
 from mipnerf_pl_tpu.data.datasets import Blender, Multicam, dataset_dict
 from mipnerf_pl_tpu.data.pipeline import TrainBatcher
 from mipnerf_pl_tpu.data.render_path import spheric_render_rays
@@ -71,11 +71,13 @@ def test_ray_directions_through_pixel_centers(blender_root):
     np.testing.assert_allclose(center_dir, want, atol=1e-5)
 
 
-def test_down2_box_filter():
-    img = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
-    d = down2(img)
-    assert d.shape == (2, 2, 1)
-    assert d[0, 0, 0] == (0 + 1 + 4 + 5) / 4
+def test_image_pyramid_box_filter():
+    stack = np.arange(32, dtype=np.float32).reshape(2, 4, 4, 1)
+    levels = image_pyramid(stack, 2)
+    assert levels[0] is stack
+    assert levels[1].shape == (2, 2, 2, 1)
+    assert levels[1][0, 0, 0, 0] == (0 + 1 + 4 + 5) / 4
+    assert levels[1][1, 0, 0, 0] == (16 + 17 + 20 + 21) / 4
 
 
 def test_multicam_dataset(multi_root):

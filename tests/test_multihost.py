@@ -1,0 +1,82 @@
+"""Flag-plumbing tests for the multi-host (pod) init path and the guarded
+profiler flag.
+
+Real multi-host execution needs real hardware; what is testable here is the
+contract: `parallel.multi_host` gates `jax.distributed.initialize()`, the
+parallel.* keys map to its kwargs (with None/'None' dropped), and the
+`--profile` flag writes a jax.profiler trace on supported backends.
+"""
+
+import os
+
+import jax
+import pytest
+
+from mipnerf_pl_tpu.parallel import mesh as mesh_lib
+from tests.helpers import make_blender_scene, tiny_hparams
+
+
+@pytest.fixture
+def init_spy(monkeypatch):
+    calls = []
+    monkeypatch.setattr(jax.distributed, 'initialize',
+                        lambda **kw: calls.append(kw))
+    return calls
+
+
+def test_multi_host_off_by_default(init_spy):
+    assert mesh_lib.maybe_initialize_distributed({}) is False
+    assert mesh_lib.maybe_initialize_distributed(
+        {'parallel.multi_host': False}) is False
+    assert mesh_lib.maybe_initialize_distributed(
+        {'parallel.multi_host': 'None'}) is False
+    assert init_spy == []
+
+
+def test_multi_host_autodetect(init_spy):
+    # TPU-pod style: no explicit coordinator -> initialize() autodetects.
+    assert mesh_lib.maybe_initialize_distributed(
+        {'parallel.multi_host': True}) is True
+    assert init_spy == [{}]
+
+
+def test_multi_host_explicit_cluster(init_spy):
+    hp = {
+        'parallel.multi_host': True,
+        'parallel.coordinator_address': 'host0:1234',
+        'parallel.num_processes': 4,
+        'parallel.process_id': '2',     # literal_eval'd strings also accepted
+    }
+    assert mesh_lib.maybe_initialize_distributed(hp) is True
+    assert init_spy == [{'coordinator_address': 'host0:1234',
+                         'num_processes': 4, 'process_id': 2}]
+
+
+def test_multi_host_none_values_dropped(init_spy):
+    hp = {'parallel.multi_host': True,
+          'parallel.coordinator_address': 'None',
+          'parallel.num_processes': None}
+    mesh_lib.maybe_initialize_distributed(hp)
+    assert init_spy == [{}]
+
+
+def test_default_schema_carries_multi_host_keys():
+    from mipnerf_pl_tpu import config
+    hp = config.default()
+    assert hp['parallel.multi_host'] is False
+    assert str(hp['parallel.coordinator_address']) == 'None'
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    from mipnerf_pl_tpu.train.system import MipNeRFSystem, profiler_supported
+    assert profiler_supported()   # tests run on the CPU backend
+    scene = make_blender_scene(str(tmp_path / 'scene'), n_frames=2, size=8)
+    hp = tiny_hparams()
+    hp.update({'profile': 2, 'exp_name': 'prof',
+               'train.steps_per_call': 2, 'val.check_interval': 100})
+    system = MipNeRFSystem(hp)
+    system.fit(scene, 'blender', str(tmp_path / 'out'), max_steps=6,
+               verbose=False)
+    trace_root = tmp_path / 'out' / 'logs' / 'prof' / 'plugins'
+    files = [p for p in trace_root.rglob('*') if p.is_file()]
+    assert files, f'no profiler trace written under {trace_root}'

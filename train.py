@@ -18,6 +18,9 @@ parser.add_argument("--config", help="Path to config file.", required=False,
                     default='./configs/lego.yaml')
 parser.add_argument("--max_steps", help="Override optimizer.max_steps.",
                     type=int, default=None)
+parser.add_argument("--profile", help="Trace this many train steps with "
+                    "jax.profiler into the TB logdir (0 = off).",
+                    type=int, default=0)
 parser.add_argument("opts", nargs=argparse.REMAINDER,
                     help="Modify hparams, e.g.: train.batch_size 1024")
 
@@ -26,7 +29,17 @@ def main(hparams):
     # Single jax PRNG seed replaces the reference's torch/cuda/np/random
     # seeding (train.py:24-29) — strictly stronger determinism: every random
     # draw threads from jax.random.PRNGKey(seed).
+    from mipnerf_pl_tpu.parallel.mesh import maybe_initialize_distributed
     from mipnerf_pl_tpu.train.system import MipNeRFSystem
+
+    # Pod scale: when parallel.multi_host is set, join the jax.distributed
+    # cluster BEFORE any backend use so the mesh spans all hosts' chips.
+    if maybe_initialize_distributed(hparams):
+        import jax
+        print(f'multi-host: process {jax.process_index()}/'
+              f'{jax.process_count()}, '
+              f'{jax.local_device_count()} local / '
+              f'{jax.device_count()} global devices', flush=True)
 
     system = MipNeRFSystem(hparams)
     print(f'mesh: {system.mesh}', flush=True)
