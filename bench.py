@@ -6,10 +6,14 @@ samples x 2 levels through the shared 8x256 MLP (configs/lego.yaml:5,20-21,
 38-39), Adam + MipLRDecay, masked MSE + distloss — on synthetic rays (no
 dataset dependency) and prints one JSON line.
 
-vs_baseline: the reference PyTorch impl trains lego at roughly 10k rays/sec
-on a single modern CUDA GPU (300k steps x 3072 rays in ~1 day per the
-upstream README's training recipe; no hardware stated, see BASELINE.md) —
-that estimate is the denominator.
+vs_baseline: the denominator is an estimate of the reference PyTorch code on
+an A100 (the reference publishes no speed numbers and no GPU exists here).
+Provenance — BASELINE.md "Throughput denominator": bracketed by (a) the
+measured reference-torch step on this host's CPU (tools/measure_ref_torch.py:
+104.9 s/step = 29 rays/s on one core, 27 GFLOP/s effective) and (b) an A100
+roofline of the step's measured 2.81 TFLOP / >=21 GB fp32 eager traffic
+(~50-100 ms/step => ~10-30k rays/s). 10k is the bracket's lower edge and the
+driver's original framing (BENCH_r01).
 """
 
 import json
@@ -17,7 +21,7 @@ import time
 
 import numpy as np
 
-REFERENCE_RAYS_PER_SEC = 10_000.0  # estimated A100 PyTorch baseline (see above)
+REFERENCE_RAYS_PER_SEC = 10_000.0  # A100 PyTorch estimate; BASELINE.md "Throughput denominator"
 
 
 def _ensure_backend():

@@ -31,10 +31,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROW_TILE = 512
-# The saved-activation backward streams 10 extra input tiles; a smaller row
-# tile keeps its working set under the 16 MB VMEM limit.
-_ROW_TILE_SAVED_BWD = 256
+import os
+
+# Row-tile sizes: the TPU grid has a per-step scheduling overhead of a few
+# microseconds, so tiles must be large enough that each step's MXU work
+# (~2*T*|params| FLOPs) dominates it; measured on the v5e chip, 512-row tiles
+# were overhead-bound (~3.5 us bubble per step).  Bounded above by VMEM: the
+# recompute backward keeps 8 post-relu [T, W] bf16 activations + params +
+# f32 weight-grad accumulators resident.
+_ROW_TILE = int(os.environ.get('MLP_FWD_TILE', '4096'))
+_ROW_TILE_BWD = int(os.environ.get('MLP_BWD_TILE', '2048'))
+# 'save' mode streams ~10 activation tensors through VMEM in each direction;
+# its tiles are bounded by the double-buffered stream footprint.
+_ROW_TILE_SAVED_FWD = int(os.environ.get('MLP_SAVE_FWD_TILE', '768'))
+_ROW_TILE_SAVED_BWD = int(os.environ.get('MLP_SAVE_BWD_TILE', '512'))
+
+
+# The default 16 MB scoped-VMEM cap is far below the chip's physical VMEM;
+# the streaming kernels' double-buffered tiles need more headroom.
+_VMEM_LIMIT = int(os.environ.get('MLP_VMEM_LIMIT', str(96 * 1024 * 1024)))
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _resolve_interpret(interpret):
@@ -225,10 +241,13 @@ def _bwd_kernel_saved(x_ref, view_ref, g_rgb_ref, g_dens_ref, *refs, cfg):
 
     def d_dense(idx, inp, g_out):
         k = params[2 * idx]
-        dk = jnp.dot(inp.T, g_out.astype(dtype), preferred_element_type=f32)
+        gb = g_out.astype(dtype)
+        dk = jax.lax.dot_general(inp, gb, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
         db = jnp.sum(g_out, axis=0)
         accum(idx, dk, db)
-        return jnp.dot(g_out.astype(dtype), k.T, preferred_element_type=f32)
+        return jax.lax.dot_general(gb, k, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
 
     g = d_dense(net_depth + 2 + nvd, rgb_in, g_rgb)
     for j in reversed(range(nvd)):
@@ -276,29 +295,25 @@ def _bwd_kernel(x_ref, view_ref, g_rgb_ref, g_dens_ref, *refs, cfg):
         k, b = params[2 * i], params[2 * i + 1]
         return jnp.dot(h, k, preferred_element_type=f32) + b.astype(f32)
 
-    # ---- forward recompute, stashing layer inputs & relu masks in VMEM ----
-    acts = []        # input to each trunk layer
-    masks = []       # relu mask of each trunk layer output (pre-concat)
+    # ---- forward recompute, stashing ONLY the post-relu outputs (bf16) ----
+    # Layer inputs and relu masks are both derivable from them (acts[i] =
+    # hs[i-1] [+ skip concat]; mask_i = hs[i] > 0), which halves the VMEM
+    # residency vs stashing inputs and masks separately.
+    hs = []          # post-relu output of each trunk layer (pre-concat)
     h = x
-    inputs = x
     for i in range(net_depth):
-        acts.append(h)
-        pre = dense(h, i)
-        mask = (pre > 0.0)
-        masks.append(mask)
-        h = jnp.where(mask, pre, 0.0).astype(dtype)
+        h = jnp.maximum(dense(h, i), 0.0).astype(dtype)
+        hs.append(h)
         if i % skip == 0 and i > 0:
-            h = jnp.concatenate([h, inputs], axis=-1)
+            h = jnp.concatenate([h, x], axis=-1)
     trunk_out = h
     bottleneck = dense(h, net_depth + 1).astype(dtype)
     y = jnp.concatenate([bottleneck, view], axis=-1)
-    v_acts, v_masks = [], []
+    v_acts, ys = [], []
     for j in range(nvd):
         v_acts.append(y)
-        pre = dense(y, net_depth + 2 + j)
-        mask = (pre > 0.0)
-        v_masks.append(mask)
-        y = jnp.where(mask, pre, 0.0).astype(dtype)
+        y = jnp.maximum(dense(y, net_depth + 2 + j), 0.0).astype(dtype)
+        ys.append(y)
     rgb_in = y
 
     g_rgb = g_rgb_ref[:]                       # [T, 3] f32
@@ -319,20 +334,27 @@ def _bwd_kernel(x_ref, view_ref, g_rgb_ref, g_dens_ref, *refs, cfg):
 
     def d_dense(idx, inp, g_out):
         """Given d loss/d (dense output) [T, O] f32, accumulate dW/db and
-        return d loss/d input [T, I] f32."""
+        return d loss/d input [T, I] f32.  Both matmuls contract via
+        dot_general dimension_numbers — no materialized transposes (the MXU
+        takes either operand orientation natively; an explicit `.T` costs a
+        full VMEM copy per layer per tile)."""
         k = params[2 * idx]
-        dk = jnp.dot(inp.astype(f32).T.astype(dtype), g_out.astype(dtype),
-                     preferred_element_type=f32)
+        gb = g_out.astype(dtype)
+        # dk[I, O] = sum_t inp[t, I] * g[t, O]
+        dk = jax.lax.dot_general(inp, gb, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
         db = jnp.sum(g_out, axis=0)
         accum(idx, dk, db)
-        return jnp.dot(g_out.astype(dtype), k.T,
-                       preferred_element_type=f32)
+        # dx[T, I] = g[T, O] . k[I, O]^T
+        return jax.lax.dot_general(gb, k, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
 
     # rgb head
     g = d_dense(net_depth + 2 + nvd, rgb_in, g_rgb)
-    # view layers (reverse)
+    # view layers (reverse); relu mask from the stashed post-relu output
     for j in reversed(range(nvd)):
-        g = jnp.where(v_masks[j], g, 0.0)
+        # (.astype(f32): Mosaic has no native bf16 comparison)
+        g = jnp.where(ys[j].astype(f32) > 0.0, g, 0.0)
         g = d_dense(net_depth + 2 + j, v_acts[j], g)
     # split into bottleneck / view-direction grads
     g_bottleneck = g[:, :W]
@@ -345,11 +367,14 @@ def _bwd_kernel(x_ref, view_ref, g_rgb_ref, g_dens_ref, *refs, cfg):
     g_x_extra = jnp.zeros(x.shape, dtype=f32)
     for i in reversed(range(net_depth)):
         if i % skip == 0 and i > 0:
-            # h was concat([relu_out, inputs]) after this layer
+            # h was concat([relu_out, x]) after this layer
             g_x_extra += g_trunk[:, W:]
             g_trunk = g_trunk[:, :W]
-        g_trunk = jnp.where(masks[i], g_trunk, 0.0)
-        g_trunk = d_dense(i, acts[i], g_trunk)
+        g_trunk = jnp.where(hs[i].astype(f32) > 0.0, g_trunk, 0.0)
+        inp = x if i == 0 else hs[i - 1]
+        if i >= 1 and (i - 1) % skip == 0 and i - 1 > 0:
+            inp = jnp.concatenate([inp, x], axis=-1)
+        g_trunk = d_dense(i, inp, g_trunk)
     dx_ref[:] = g_trunk + g_x_extra
 
 
@@ -400,17 +425,19 @@ def _run_fwd(x, view, flat_params, cfg, interpret):
                   + [_full_spec() for _ in flat_params]),
         out_specs=(_tile_spec(3), _tile_spec(nd)),
         interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
     )(x, view, *flat_params)
     return rgb[:M], dens[:M]
 
 
 def _run_bwd(x, view, g_rgb, g_dens, flat_params, cfg, interpret):
+    T = _ROW_TILE_BWD
     M = x.shape[0]
-    Mp = ((M + _ROW_TILE - 1) // _ROW_TILE) * _ROW_TILE
+    Mp = ((M + T - 1) // T) * T
     # Zero-pad everything: zero gradient rows contribute zero to dW/db.
     x, view = _pad_rows(x, Mp), _pad_rows(view, Mp)
     g_rgb, g_dens = _pad_rows(g_rgb, Mp), _pad_rows(g_dens, Mp)
-    grid = (Mp // _ROW_TILE,)
+    grid = (Mp // T,)
     kernel = functools.partial(_bwd_kernel, cfg=cfg)
     dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
                      for p in flat_params]
@@ -424,19 +451,21 @@ def _run_bwd(x, view, g_rgb, g_dens, flat_params, cfg, interpret):
                    jax.ShapeDtypeStruct((Mp, view.shape[1]), jnp.float32),
                    *dparam_shapes),
         grid=grid,
-        in_specs=([_tile_spec(x.shape[1]), _tile_spec(view.shape[1]),
-                   _tile_spec(3), _tile_spec(g_dens.shape[1])]
+        in_specs=([_tile_spec_t(x.shape[1], T), _tile_spec_t(view.shape[1], T),
+                   _tile_spec_t(3, T), _tile_spec_t(g_dens.shape[1], T)]
                   + [_full_spec() for _ in flat_params]),
-        out_specs=(_tile_spec(x.shape[1]), _tile_spec(view.shape[1]),
+        out_specs=(_tile_spec_t(x.shape[1], T), _tile_spec_t(view.shape[1], T),
                    *dparam_specs),
         interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
     )(x, view, g_rgb, g_dens, *flat_params)
     return (outs[0][:M], outs[1][:M]) + tuple(outs[2:])
 
 
 def _run_fwd_save(x, view, flat_params, cfg, interpret):
+    T = _ROW_TILE_SAVED_FWD
     M = x.shape[0]
-    Mp = ((M + _ROW_TILE - 1) // _ROW_TILE) * _ROW_TILE
+    Mp = ((M + T - 1) // T) * T
     x, view = _pad_rows(x, Mp), _pad_rows(view, Mp)
     net_depth = cfg['net_depth']
     nvd = cfg['net_depth_condition']
@@ -444,7 +473,7 @@ def _run_fwd_save(x, view, flat_params, cfg, interpret):
     Wv = flat_params[2 * (net_depth + 2)].shape[1]
     nd = flat_params[2 * net_depth].shape[1]
     dt = cfg['dtype']
-    grid = (Mp // _ROW_TILE,)
+    grid = (Mp // T,)
     kernel = functools.partial(_fwd_kernel_save, cfg=cfg)
     out_shape = (
         [jax.ShapeDtypeStruct((Mp, 3), jnp.float32),
@@ -452,17 +481,18 @@ def _run_fwd_save(x, view, flat_params, cfg, interpret):
         + [jax.ShapeDtypeStruct((Mp, W), dt) for _ in range(net_depth)]
         + [jax.ShapeDtypeStruct((Mp, W), dt)]
         + [jax.ShapeDtypeStruct((Mp, Wv), dt) for _ in range(nvd)])
-    out_specs = ([_tile_spec(3), _tile_spec(nd)]
-                 + [_tile_spec(W) for _ in range(net_depth + 1)]
-                 + [_tile_spec(Wv) for _ in range(nvd)])
+    out_specs = ([_tile_spec_t(3, T), _tile_spec_t(nd, T)]
+                 + [_tile_spec_t(W, T) for _ in range(net_depth + 1)]
+                 + [_tile_spec_t(Wv, T) for _ in range(nvd)])
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
         grid=grid,
-        in_specs=([_tile_spec(x.shape[1]), _tile_spec(view.shape[1])]
+        in_specs=([_tile_spec_t(x.shape[1], T), _tile_spec_t(view.shape[1], T)]
                   + [_full_spec() for _ in flat_params]),
         out_specs=tuple(out_specs),
         interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
     )(x, view, *flat_params)
     rgb, dens = outs[0][:M], outs[1][:M]
     saved = tuple(o[:M] for o in outs[2:])
@@ -502,6 +532,7 @@ def _run_bwd_saved(x, view, g_rgb, g_dens, flat_params, saved, cfg,
         out_specs=(_tile_spec_t(x.shape[1], T), _tile_spec_t(view.shape[1], T),
                    *dparam_specs),
         interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
     )(x, view, g_rgb, g_dens, *flat_params, *saved)
     return (outs[0][:M], outs[1][:M]) + tuple(outs[2:])
 
