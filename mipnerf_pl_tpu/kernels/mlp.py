@@ -593,3 +593,283 @@ def _fused_mlp_bwd(net_depth, net_depth_condition, skip_index, compute_dtype,
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 'lean' mode: the recompute megakernel with a slimmed HBM boundary.
+#
+# Measured on the tunneled v5e: each pallas_call costs ~0.7 ms fixed and
+# streams at only ~270 GB/s, and XLA pads every narrow per-point tensor to
+# 128 lanes (f32[M, 3] occupies 201 MB physically).  So the boundary, not
+# the MXU, is where this kernel family loses time.  Lean mode cuts it down:
+#   * encode input arrives in the compute dtype (bf16 halves the stream);
+#   * view features stay PER-RAY ([R, Fv], ~2 MB) — the kernel runs the
+#     view half of view_0 at R rows and broadcasts per ray, instead of
+#     streaming a lane-padded [M, Fv] repeat (201 MB physical);
+#   * rgb and density leave as ONE packed [M, 3+nd] f32 tensor (one padded
+#     buffer instead of two);
+#   * the backward emits parameter gradients ONLY — no dx/dview outputs
+#     (402 MB/level saved).  Training-exact: the encode and view producers
+#     are parameter-free and resampling is stop-gradiented (reference
+#     models/mip.py:259), so those cotangents are structurally zero.
+# Use 'pallas'/'xla' for input-differentiable uses (camera optimization).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_body_lean(x, view_ray, params, cfg):
+    """x [T, F] compute dtype, view_ray [R, Fv] (T = R * num_samples)."""
+    net_depth = cfg['net_depth']
+    skip = cfg['skip_index']
+    nvd = cfg['net_depth_condition']
+    W = cfg['net_width']
+    N = cfg['num_samples']
+    f32 = jnp.float32
+    dtype = cfg['dtype']
+
+    def dense(h, i):
+        k, b = params[2 * i], params[2 * i + 1]
+        return jnp.dot(h, k, preferred_element_type=f32) + b.astype(f32)
+
+    hs = []
+    h = x
+    for i in range(net_depth):
+        h = jnp.maximum(dense(h, i), 0.0).astype(dtype)
+        hs.append(h)
+        if i % skip == 0 and i > 0:
+            h = jnp.concatenate([h, x], axis=-1)
+    trunk_out = h
+    density = dense(h, net_depth)
+    bottleneck = dense(h, net_depth + 1).astype(dtype)
+
+    # view_0 as split matmuls: the view half runs at R rows (= T/N) and is
+    # broadcast per ray — the reference repeats the features to T rows and
+    # matmuls there (models/mip_nerf.py:106).
+    k0, b0 = params[2 * (net_depth + 2)], params[2 * (net_depth + 2) + 1]
+    per_point = jnp.dot(bottleneck, k0[:W], preferred_element_type=f32)
+    vr = view_ray.astype(dtype)
+    per_ray = jnp.dot(vr, k0[W:], preferred_element_type=f32) + b0.astype(f32)
+    R, Wv = per_ray.shape
+    pr = jnp.broadcast_to(per_ray[:, None, :], (R, N, Wv)).reshape(R * N, Wv)
+    y = jnp.maximum(per_point + pr, 0.0).astype(dtype)
+    ys = [y]
+    for j in range(1, nvd):
+        y = jnp.maximum(dense(y, net_depth + 2 + j), 0.0).astype(dtype)
+        ys.append(y)
+    rgb = dense(y, net_depth + 2 + nvd)
+    return rgb, density, hs, ys, trunk_out, bottleneck
+
+
+def _fwd_kernel_lean(x_ref, view_ref, *refs, cfg):
+    n_params = cfg['n_params']
+    params = [r[:] for r in refs[:n_params]]
+    out_ref = refs[n_params]
+    x = x_ref[:].astype(cfg['dtype'])
+    rgb, density, _, _, _, _ = _fwd_body_lean(x, view_ref[:], params, cfg)
+    out_ref[:] = jnp.concatenate([rgb, density], axis=-1)
+
+
+def _bwd_kernel_lean(x_ref, view_ref, g_ref, *refs, cfg):
+    """Recompute backward, parameter grads only, packed cotangent input."""
+    net_depth = cfg['net_depth']
+    skip = cfg['skip_index']
+    nvd = cfg['net_depth_condition']
+    n_params = cfg['n_params']
+    W = cfg['net_width']
+    N = cfg['num_samples']
+    dtype = cfg['dtype']
+    f32 = jnp.float32
+
+    params = [r[:] for r in refs[:n_params]]
+    dparam_refs = refs[n_params:]
+
+    x = x_ref[:].astype(dtype)
+    vr = view_ray = view_ref[:]
+    _, _, hs, ys, trunk_out, bottleneck = _fwd_body_lean(
+        x, view_ray, params, cfg)
+
+    g_packed = g_ref[:]
+    g_rgb = g_packed[:, :3]
+    g_dens = g_packed[:, 3:]
+    first = pl.program_id(0) == 0
+
+    def zero_init(r):
+        @pl.when(first)
+        def _():
+            r[:] = jnp.zeros(r.shape, r.dtype)
+
+    def accum_bias(idx, db):
+        br = dparam_refs[2 * idx + 1]
+        zero_init(br)
+        br[:] += db.reshape(1, -1)
+
+    def d_dense(idx, parts, g_out, need):
+        """parts: list of layer-input tensors (concat layout); need[i]: emit
+        d(part_i).  dW/db always accumulate."""
+        k, kr = params[2 * idx], dparam_refs[2 * idx]
+        gb = g_out.astype(dtype)
+        zero_init(kr)
+        accum_bias(idx, jnp.sum(g_out, axis=0))
+        gparts = []
+        off = 0
+        for t, n in zip(parts, need):
+            w = t.shape[-1]
+            kr[off:off + w, :] += jax.lax.dot_general(
+                t, gb, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+            if n:
+                gparts.append(jax.lax.dot_general(
+                    gb, k[off:off + w], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32))
+            off += w
+        return gparts
+
+    # rgb head and view layers j >= 1
+    g = d_dense(net_depth + 2 + nvd, [ys[-1]], g_rgb, [True])[0]
+    for j in reversed(range(1, nvd)):
+        g = jnp.where(ys[j].astype(f32) > 0.0, g, 0.0)
+        g = d_dense(net_depth + 2 + j, [ys[j - 1]], g, [True])[0]
+
+    # view_0: split backward.  Per-point half -> bottleneck grad; per-ray
+    # half reduces the cotangent over each ray's samples first, so the
+    # view-rows' weight grad is an [Fv, Wv] matmul at R rows.
+    g1 = jnp.where(ys[0].astype(f32) > 0.0, g, 0.0)        # [T, Wv] f32
+    idx0 = net_depth + 2
+    k0, kr0 = params[2 * idx0], dparam_refs[2 * idx0]
+    zero_init(kr0)
+    accum_bias(idx0, jnp.sum(g1, axis=0))
+    g1b = g1.astype(dtype)
+    kr0[:W, :] += jax.lax.dot_general(
+        bottleneck, g1b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    R = vr.shape[0]
+    Wv = g1.shape[-1]
+    g_ray = jnp.sum(g1.reshape(R, N, Wv), axis=1).astype(dtype)   # [R, Wv]
+    kr0[W:, :] += jax.lax.dot_general(
+        vr.astype(dtype), g_ray, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32)
+    g_bott = jax.lax.dot_general(g1b, k0[:W], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)
+
+    # bottleneck + density heads read trunk_out (possibly concat layout)
+    trunk_parts = [trunk_out[:, :W]]
+    trunk_need = [True]
+    if trunk_out.shape[-1] > W:
+        trunk_parts.append(x)
+        trunk_need.append(False)
+    g_trunk = d_dense(net_depth + 1, trunk_parts, g_bott, trunk_need)[0]
+    g_trunk += d_dense(net_depth, trunk_parts, g_dens, trunk_need)[0]
+
+    for i in reversed(range(net_depth)):
+        if i % skip == 0 and i > 0:
+            g_trunk = g_trunk[:, :W]   # x half of the concat: no grad
+        g_trunk = jnp.where(hs[i].astype(f32) > 0.0, g_trunk, 0.0)
+        if i == 0:
+            d_dense(i, [x], g_trunk, [False])
+            break
+        parts_i = [hs[i - 1]]
+        need_i = [True]
+        if (i - 1) % skip == 0 and i - 1 > 0:
+            parts_i.append(x)
+            need_i.append(False)
+        g_trunk = d_dense(i, parts_i, g_trunk, need_i)[0]
+
+
+def _lean_tile(base, num_samples):
+    return max(num_samples, (base // num_samples) * num_samples)
+
+
+def _run_fwd_lean(x, view, flat_params, cfg, interpret):
+    N = cfg['num_samples']
+    T = _lean_tile(_ROW_TILE, N)
+    M = x.shape[0]
+    Mp = ((M + T - 1) // T) * T
+    x = _pad_rows(x, Mp)
+    view = _pad_rows(view, Mp // N)
+    nd = flat_params[2 * cfg['net_depth']].shape[1]
+    pack = 3 + nd
+    grid = (Mp // T,)
+    kernel = functools.partial(_fwd_kernel_lean, cfg=cfg)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, pack), jnp.float32),
+        grid=grid,
+        in_specs=([_tile_spec_t(x.shape[1], T),
+                   _tile_spec_t(view.shape[1], T // N)]
+                  + [_full_spec() for _ in flat_params]),
+        out_specs=_tile_spec_t(pack, T),
+        interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
+    )(x, view, *flat_params)
+    return out[:M]
+
+
+def _run_bwd_lean(x, view, g_packed, flat_params, cfg, interpret):
+    N = cfg['num_samples']
+    T = _lean_tile(_ROW_TILE_BWD, N)
+    M = x.shape[0]
+    Mp = ((M + T - 1) // T) * T
+    x = _pad_rows(x, Mp)
+    view = _pad_rows(view, Mp // N)
+    g_packed = _pad_rows(g_packed, Mp)
+    grid = (Mp // T,)
+    kernel = functools.partial(_bwd_kernel_lean, cfg=cfg)
+    dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
+                     for p in flat_params]
+    dparam_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for p in flat_params]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(dparam_shapes),
+        grid=grid,
+        in_specs=([_tile_spec_t(x.shape[1], T),
+                   _tile_spec_t(view.shape[1], T // N),
+                   _tile_spec_t(g_packed.shape[1], T)]
+                  + [_full_spec() for _ in flat_params]),
+        out_specs=tuple(dparam_specs),
+        interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
+    )(x, view, g_packed, *flat_params)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
+                   net_depth_condition: int, skip_index: int,
+                   compute_dtype=jnp.bfloat16, interpret=None):
+    """Lean megakernel: (x [M, F] compute dtype, view [M/num_samples, Fv],
+    params) -> packed [M, 3 + nd] f32 (rgb channels then density).
+
+    Numerically equivalent to models/mlp.py:MLP with use_viewdirs (the rgb
+    head assumes num_rgb_channels == 3).  NON-DIFFERENTIABLE in x/view
+    (zero cotangents) — see the section comment.
+    """
+    assert net_depth_condition >= 1, 'lean mode requires the view branch'
+    cfg = _cfg(net_depth, net_depth_condition, skip_index,
+               flat_params[0].shape[1], len(flat_params), compute_dtype)
+    cfg['num_samples'] = num_samples
+    wparams = [p.astype(compute_dtype) for p in flat_params]
+    return _run_fwd_lean(x, view, wparams, cfg, interpret)
+
+
+def _fused_mlp_lean_fwd(x, view, flat_params, num_samples, net_depth,
+                        net_depth_condition, skip_index, compute_dtype,
+                        interpret):
+    out = fused_mlp_lean(x, view, flat_params, num_samples, net_depth,
+                         net_depth_condition, skip_index, compute_dtype,
+                         interpret)
+    return out, (x, view, flat_params)
+
+
+def _fused_mlp_lean_bwd(num_samples, net_depth, net_depth_condition,
+                        skip_index, compute_dtype, interpret, res, g_packed):
+    x, view, flat_params = res
+    cfg = _cfg(net_depth, net_depth_condition, skip_index,
+               flat_params[0].shape[1], len(flat_params), compute_dtype)
+    cfg['num_samples'] = num_samples
+    wparams = [p.astype(compute_dtype) for p in flat_params]
+    outs = _run_bwd_lean(x, view, g_packed, wparams, cfg, interpret)
+    dparams = [d.reshape(p.shape).astype(p.dtype)
+               for d, p in zip(outs, flat_params)]
+    return (jnp.zeros_like(x), jnp.zeros_like(view), tuple(dparams))
+
+
+fused_mlp_lean.defvjp(_fused_mlp_lean_fwd, _fused_mlp_lean_bwd)

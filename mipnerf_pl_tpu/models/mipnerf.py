@@ -91,7 +91,14 @@ class MipNerf(nn.Module):
     # 'xla' (default, fused by the compiler) or 'pallas' (the hand-written
     # kernels in mipnerf_pl_tpu.kernels) for the IPE encode.
     ipe_backend: str = 'xla'
-    # 'xla' or 'pallas' (fused VMEM megakernel, kernels/mlp.py) for the MLP.
+    # MLP evaluation backend (kernels/mlp.py for the pallas variants):
+    #   'xla'         compiler-fused matmul chain (input-differentiable)
+    #   'pallas'      fused VMEM megakernel, in-VMEM recompute backward
+    #   'pallas_save' megakernel, activations streamed to HBM, no recompute
+    #   'pallas_lean' megakernel with slimmed HBM boundary (bf16 encode in,
+    #                 per-ray view features, packed output, parameter grads
+    #                 only — fastest; training-exact because the encode /
+    #                 view producers are parameter-free)
     mlp_backend: str = 'xla'
 
     def setup(self):

@@ -82,6 +82,8 @@ class MLP(nn.Module):
           raw_density: [batch, num_samples, num_density_channels] (float32)
         """
         num_samples = x.shape[-2]
+        if self.backend == 'pallas_lean' and view_direction is not None:
+            return self._call_pallas_lean(x, view_direction)
         if (self.backend in ('pallas', 'pallas_save')
                 and view_direction is not None):
             return self._call_pallas(x, view_direction)
@@ -151,16 +153,9 @@ class MLP(nn.Module):
         return (raw_rgb.reshape(*lead, self.num_rgb_channels).astype(jnp.float32),
                 raw_density.reshape(*lead, self.num_density_channels).astype(jnp.float32))
 
-    def _call_pallas(self, x, view_direction):
-        """Fused-megakernel evaluation (kernels/mlp.py)."""
-        from mipnerf_pl_tpu.kernels.mlp import fused_mlp
-
-        assert self.net_activation == 'relu', 'pallas backend is ReLU-only'
-        num_samples = x.shape[-2]
-        xyz_dim = x.shape[-1]
-        view_dim = view_direction.shape[-1]
-
-        # Declare the identical parameter tree Dense would own.
+    def _declare_flat_params(self, xyz_dim: int, view_dim: int):
+        """Declare the identical parameter tree nn.Dense would own, as the
+        flat [k0, b0, k1, b1, ...] list the fused kernels index."""
         flat = []
         dim_in = xyz_dim
         for i in range(self.net_depth):
@@ -175,11 +170,48 @@ class MLP(nn.Module):
         flat += [k, b.reshape(1, -1)]
         dim_v = self.net_width + view_dim
         for j in range(self.net_depth_condition):
-            k, b = _DenseParams(self.net_width_condition, name=f'view_{j}')(dim_v)
+            k, b = _DenseParams(self.net_width_condition,
+                                name=f'view_{j}')(dim_v)
             flat += [k, b.reshape(1, -1)]
             dim_v = self.net_width_condition
         k, b = _DenseParams(self.num_rgb_channels, name='rgb')(dim_v)
         flat += [k, b.reshape(1, -1)]
+        return flat
+
+    def _call_pallas_lean(self, x, view_direction):
+        """Lean megakernel (kernels/mlp.py:fused_mlp_lean): bf16 encode
+        input, per-ray view features (the kernel broadcasts them), one
+        packed output, parameter gradients only.  Parameter tree identical
+        to every other backend."""
+        from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
+
+        assert self.net_activation == 'relu', 'pallas backend is ReLU-only'
+        assert self.num_rgb_channels == 3, 'lean mode packs rgb as 3 channels'
+        num_samples = x.shape[-2]
+        xyz_dim = x.shape[-1]
+        flat = self._declare_flat_params(xyz_dim, view_direction.shape[-1])
+
+        lead = x.shape[:-1]
+        # Cast in XLA, where it fuses into the encode epilogue for free —
+        # halves the kernel's input stream when compute dtype is bf16.
+        x2 = x.reshape(-1, xyz_dim).astype(self.compute_dtype)
+        view2 = view_direction.reshape(-1, view_direction.shape[-1])
+        packed = fused_mlp_lean(x2, view2, tuple(flat), num_samples,
+                                self.net_depth, self.net_depth_condition,
+                                self.skip_index, self.compute_dtype, None)
+        rgb = packed[:, :self.num_rgb_channels]
+        dens = packed[:, self.num_rgb_channels:]
+        return (rgb.reshape(*lead, self.num_rgb_channels),
+                dens.reshape(*lead, self.num_density_channels))
+
+    def _call_pallas(self, x, view_direction):
+        """Fused-megakernel evaluation (kernels/mlp.py)."""
+        from mipnerf_pl_tpu.kernels.mlp import fused_mlp
+
+        assert self.net_activation == 'relu', 'pallas backend is ReLU-only'
+        num_samples = x.shape[-2]
+        xyz_dim = x.shape[-1]
+        flat = self._declare_flat_params(xyz_dim, view_direction.shape[-1])
 
         x2 = x.reshape(-1, xyz_dim)
         view2 = jnp.repeat(view_direction, num_samples, axis=0)

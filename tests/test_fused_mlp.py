@@ -195,3 +195,105 @@ def test_model_pallas_save_backend():
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_s)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_fused_mlp_lean_matches_flax():
+    """Lean mode (per-ray view input, packed output) must match the Flax MLP
+    in forward outputs and parameter gradients.  dx/dview are structurally
+    zero by design (non-diff boundary)."""
+    from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
+
+    N = 8
+    mlp, params, flat, x, view, x2, view2 = _setup(M=96, cfg=CFG)
+    # reshape per-sample layout: [M(=rays), 1, xdim] -> treat M/N rays of N
+    xdim = x2.shape[1]
+    x3 = x2.reshape(-1, N, xdim)                # [R, N, xdim]
+    view_ray = view[::1][: x3.shape[0]]         # [R, vdim] per-ray features
+
+    want_rgb, want_dens = mlp.apply(params, x3,
+                                    view_ray)   # flax broadcasts per ray
+
+    def loss_lean(flat):
+        packed = fused_mlp_lean(x3.reshape(-1, xdim), view_ray, flat, N,
+                                CFG['net_depth'], CFG['net_depth_condition'],
+                                CFG['skip_index'], jnp.float32, True)
+        return jnp.sum(packed ** 2), packed
+
+    (_, packed), g_lean = jax.value_and_grad(
+        loss_lean, has_aux=True)(tuple(flat))
+    np.testing.assert_allclose(np.asarray(packed[:, :3]),
+                               np.asarray(want_rgb).reshape(-1, 3),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(packed[:, 3:]),
+                               np.asarray(want_dens).reshape(-1, 1),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_flax(p):
+        rgb, dens = mlp.apply(p, x3, view_ray)
+        return (jnp.sum(rgb ** 2) + jnp.sum(dens ** 2))
+
+    g_flax = flatten_params(jax.grad(loss_flax)(params)['params'],
+                            CFG['net_depth'], CFG['net_depth_condition'])
+    for got, want in zip(g_lean, g_flax):
+        np.testing.assert_allclose(np.asarray(got).reshape(want.shape),
+                                   np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_lean_padding_does_not_corrupt():
+    """Ray count not a multiple of the row tile: padded rows must not leak
+    into the packed outputs or weight gradients."""
+    from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
+
+    N = 4
+    mlp, params, flat, x, view, x2, view2 = _setup(M=516, cfg=CFG)  # 129 rays
+    xdim = x2.shape[1]
+    x3 = x2.reshape(-1, N, xdim)
+    view_ray = view[: x3.shape[0]]
+
+    def loss(flat):
+        packed = fused_mlp_lean(x3.reshape(-1, xdim), view_ray, flat, N,
+                                CFG['net_depth'], CFG['net_depth_condition'],
+                                CFG['skip_index'], jnp.float32, True)
+        return jnp.sum(packed ** 2)
+
+    def loss_flax(p):
+        rgb, dens = mlp.apply(p, x3, view_ray)
+        return jnp.sum(rgb ** 2) + jnp.sum(dens ** 2)
+
+    g_lean = jax.grad(loss)(tuple(flat))
+    g_flax = flatten_params(jax.grad(loss_flax)(params)['params'],
+                            CFG['net_depth'], CFG['net_depth_condition'])
+    for got, want in zip(g_lean, g_flax):
+        np.testing.assert_allclose(np.asarray(got).reshape(want.shape),
+                                   np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_model_pallas_lean_backend():
+    """MipNerf(mlp_backend='pallas_lean') matches the XLA model with the
+    SAME params in outputs and parameter gradients."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2)
+    rays = random_rays(8)
+    m_x = MipNerf(**kw, mlp_backend='xla')
+    m_l = MipNerf(**kw, mlp_backend='pallas_lean')
+    params = m_x.init(jax.random.PRNGKey(0), rays, None, False, True)
+    params_l = m_l.init(jax.random.PRNGKey(0), rays, None, False, True)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_l))
+    r_x = m_x.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_l = m_l.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    np.testing.assert_allclose(np.asarray(r_l[-1].rgb),
+                               np.asarray(r_x[-1].rgb), rtol=1e-5, atol=1e-5)
+
+    def loss(model, p):
+        ret = model.apply(p, rays, jax.random.PRNGKey(2), True, True)
+        return sum(jnp.mean(lv.rgb ** 2) for lv in ret)
+
+    g_x = jax.grad(lambda p: loss(m_x, p))(params)
+    g_l = jax.grad(lambda p: loss(m_l, p))(params)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_l)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)
