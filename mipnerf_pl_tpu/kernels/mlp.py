@@ -45,12 +45,19 @@ _ROW_TILE_BWD = int(os.environ.get('MLP_BWD_TILE', '2048'))
 # its tiles are bounded by the double-buffered stream footprint.
 _ROW_TILE_SAVED_FWD = int(os.environ.get('MLP_SAVE_FWD_TILE', '768'))
 _ROW_TILE_SAVED_BWD = int(os.environ.get('MLP_SAVE_BWD_TILE', '512'))
+# lean-save streams ~10 bf16 activations/tile each way; the slim boundary
+# leaves VMEM headroom for larger tiles than classic 'save' mode.
+_ROW_TILE_LEAN_SAVE = int(os.environ.get('MLP_LEAN_SAVE_TILE', '2048'))
 
 
 # The default 16 MB scoped-VMEM cap is far below the chip's physical VMEM;
 # the streaming kernels' double-buffered tiles need more headroom.
 _VMEM_LIMIT = int(os.environ.get('MLP_VMEM_LIMIT', str(96 * 1024 * 1024)))
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+# 'arbitrary' grid semantics: the backward kernels accumulate += into
+# constant-index output refs across grid steps, which requires the
+# sequential interpretation (measured perf-neutral vs unset).
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=_VMEM_LIMIT, dimension_semantics=('arbitrary',))
 
 
 def _resolve_interpret(interpret):
@@ -668,26 +675,19 @@ def _fwd_kernel_lean(x_ref, view_ref, *refs, cfg):
     out_ref[:] = jnp.concatenate([rgb, density], axis=-1)
 
 
-def _bwd_kernel_lean(x_ref, view_ref, g_ref, *refs, cfg):
-    """Recompute backward, parameter grads only, packed cotangent input."""
+def _lean_param_grads(x, vr, g_packed, hs, ys, bottleneck, params,
+                      dparam_refs, cfg):
+    """Shared backward core: accumulate parameter grads into `dparam_refs`
+    from saved-or-recomputed activations.  `x`/`hs`/`ys`/`bottleneck` are
+    compute-dtype [T, *] tiles, `vr` the raw per-ray view tile."""
     net_depth = cfg['net_depth']
     skip = cfg['skip_index']
     nvd = cfg['net_depth_condition']
-    n_params = cfg['n_params']
     W = cfg['net_width']
     N = cfg['num_samples']
     dtype = cfg['dtype']
     f32 = jnp.float32
 
-    params = [r[:] for r in refs[:n_params]]
-    dparam_refs = refs[n_params:]
-
-    x = x_ref[:].astype(dtype)
-    vr = view_ray = view_ref[:]
-    _, _, hs, ys, trunk_out, bottleneck = _fwd_body_lean(
-        x, view_ray, params, cfg)
-
-    g_packed = g_ref[:]
     g_rgb = g_packed[:, :3]
     g_dens = g_packed[:, 3:]
     first = pl.program_id(0) == 0
@@ -748,10 +748,11 @@ def _bwd_kernel_lean(x_ref, view_ref, g_ref, *refs, cfg):
     g_bott = jax.lax.dot_general(g1b, k0[:W], (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32)
 
-    # bottleneck + density heads read trunk_out (possibly concat layout)
-    trunk_parts = [trunk_out[:, :W]]
+    # bottleneck + density heads read [hs[-1], x] when the last trunk layer
+    # was followed by a skip concat (hs stores the pre-concat relu outputs)
+    trunk_parts = [hs[-1]]
     trunk_need = [True]
-    if trunk_out.shape[-1] > W:
+    if (net_depth - 1) % skip == 0 and net_depth - 1 > 0:
         trunk_parts.append(x)
         trunk_need.append(False)
     g_trunk = d_dense(net_depth + 1, trunk_parts, g_bott, trunk_need)[0]
@@ -772,8 +773,231 @@ def _bwd_kernel_lean(x_ref, view_ref, g_ref, *refs, cfg):
         g_trunk = d_dense(i, parts_i, g_trunk, need_i)[0]
 
 
+def _bwd_kernel_lean(x_ref, view_ref, g_ref, *refs, cfg):
+    """Recompute backward: re-run the forward per tile in VMEM, then the
+    shared gradient core.  Zero HBM activation traffic, +1 fwd of MXU."""
+    n_params = cfg['n_params']
+    params = [r[:] for r in refs[:n_params]]
+    dparam_refs = refs[n_params:]
+    x = x_ref[:].astype(cfg['dtype'])
+    vr = view_ref[:]
+    _, _, hs, ys, _, bottleneck = _fwd_body_lean(x, vr, params, cfg)
+    _lean_param_grads(x, vr, g_ref[:], hs, ys, bottleneck, params,
+                      dparam_refs, cfg)
+
+
+def _fwd_kernel_lean_save(x_ref, view_ref, *refs, cfg):
+    """Forward that also streams the activations the backward needs as ONE
+    packed bf16 tensor [T, sum(widths)]: hs[0..depth-1] | bottleneck |
+    ys[0..nvd-1].  A single wide stream instead of ~10 narrow ones — the
+    per-stream grid synchronization overhead is what killed the many-output
+    variant (measured: the streams didn't overlap compute at all)."""
+    n_params = cfg['n_params']
+    params = [r[:] for r in refs[:n_params]]
+    out_ref = refs[n_params]
+    saved_ref = refs[n_params + 1]
+    x = x_ref[:].astype(cfg['dtype'])
+    rgb, density, hs, ys, _, bottleneck = _fwd_body_lean(
+        x, view_ref[:], params, cfg)
+    out_ref[:] = jnp.concatenate([rgb, density], axis=-1)
+    saved_ref[:] = jnp.concatenate(hs + [bottleneck] + ys, axis=-1)
+
+
+def _bwd_kernel_lean_save(x_ref, view_ref, g_ref, saved_ref, *refs, cfg):
+    """Zero-recompute backward: activations stream in from the forward's
+    packed saved output; only the gradient core's MXU work remains."""
+    net_depth = cfg['net_depth']
+    nvd = cfg['net_depth_condition']
+    params = [r[:] for r in refs[:cfg['n_params']]]
+    dparam_refs = refs[cfg['n_params']:]
+    packed = saved_ref[:]
+    widths = cfg['saved_widths']
+    parts, off = [], 0
+    for w in widths:
+        parts.append(packed[:, off:off + w])
+        off += w
+    hs = parts[:net_depth]
+    bottleneck = parts[net_depth]
+    ys = parts[net_depth + 1:]
+    x = x_ref[:].astype(cfg['dtype'])
+    _lean_param_grads(x, view_ref[:], g_ref[:], hs, ys, bottleneck, params,
+                      dparam_refs, cfg)
+
+
+def _fwd_body_lean_xla(x, view_ray, params, cfg):
+    """The lean forward as a plain-XLA graph (same math as _fwd_body_lean,
+    same flat param layout) for the 'hybrid' mode: XLA's forward is
+    bandwidth-optimal AND materializes every activation in HBM as part of
+    normal execution — exactly the residuals the zero-recompute Pallas
+    backward streams.  Skip/head concats are evaluated as split matmuls so
+    no lane-padded concat tensor is ever materialized in HBM."""
+    net_depth = cfg['net_depth']
+    skip = cfg['skip_index']
+    nvd = cfg['net_depth_condition']
+    W = cfg['net_width']
+    N = cfg['num_samples']
+    f32 = jnp.float32
+    dtype = cfg['dtype']
+
+    # Dots run in the compute dtype WITHOUT preferred_element_type: a forced
+    # f32 dot output would materialize [M, W] f32 (2x traffic) when the
+    # fused dot+bias+relu+cast chain breaks; bf16-out dots write bf16
+    # directly (this mirrors models/mlp.py's XLA path).
+    def dense_parts(idx, parts):
+        k, b = params[2 * idx], params[2 * idx + 1]
+        out, off = b.astype(parts[0].dtype), 0
+        for t in parts:
+            w = t.shape[-1]
+            out = out + jnp.dot(t, k[off:off + w].astype(t.dtype))
+            off += w
+        return out
+
+    hs = []
+    h = x
+    parts = [x]
+    for i in range(net_depth):
+        h = jnp.maximum(dense_parts(i, parts), 0).astype(dtype)
+        hs.append(h)
+        parts = [h, x] if (i % skip == 0 and i > 0) else [h]
+    density = dense_parts(net_depth, parts).astype(f32)
+    bottleneck = dense_parts(net_depth + 1, parts).astype(dtype)
+
+    k0, b0 = params[2 * (net_depth + 2)], params[2 * (net_depth + 2) + 1]
+    per_point = jnp.dot(bottleneck, k0[:W])
+    vr = view_ray.astype(dtype)
+    per_ray = jnp.dot(vr, k0[W:]) + b0.astype(dtype)
+    R, Wv = per_ray.shape
+    y = per_point.reshape(R, N, Wv) + per_ray[:, None, :]
+    y = jnp.maximum(y.reshape(R * N, Wv), 0).astype(dtype)
+    ys = [y]
+    for j in range(1, nvd):
+        y = jnp.maximum(dense_parts(net_depth + 2 + j, [y]), 0) \
+            .astype(dtype)
+        ys.append(y)
+    rgb = dense_parts(net_depth + 2 + nvd, [y]).astype(f32)
+    return rgb, density, hs, ys, bottleneck
+
+
+def _bwd_kernel_lean_hybrid(x_ref, view_ref, g_ref, *refs, cfg):
+    """Zero-recompute backward for 'hybrid' mode: the saved activations
+    arrive as SEPARATE per-tile streams (they are XLA residuals, never
+    packed — packing them would cost an HBM round trip)."""
+    net_depth = cfg['net_depth']
+    nvd = cfg['net_depth_condition']
+    n_saved = net_depth + 1 + nvd
+    saved = [r[:] for r in refs[:n_saved]]
+    params = [r[:] for r in refs[n_saved:n_saved + cfg['n_params']]]
+    dparam_refs = refs[n_saved + cfg['n_params']:]
+    hs = saved[:net_depth]
+    bottleneck = saved[net_depth]
+    ys = saved[net_depth + 1:]
+    x = x_ref[:].astype(cfg['dtype'])
+    _lean_param_grads(x, view_ref[:], g_ref[:], hs, ys, bottleneck, params,
+                      dparam_refs, cfg)
+
+
+def _run_bwd_lean_hybrid(x, view, g_packed, saved, flat_params, cfg,
+                         interpret):
+    N = cfg['num_samples']
+    T = _lean_tile(_ROW_TILE_LEAN_SAVE, N)
+    M = x.shape[0]
+    Mp = ((M + T - 1) // T) * T
+    x = _pad_rows(x, Mp)
+    view = _pad_rows(view, Mp // N)
+    g_packed = _pad_rows(g_packed, Mp)
+    saved = [_pad_rows(s, Mp) for s in saved]
+    grid = (Mp // T,)
+    kernel = functools.partial(_bwd_kernel_lean_hybrid, cfg=cfg)
+    dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
+                     for p in flat_params]
+    dparam_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for p in flat_params]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(dparam_shapes),
+        grid=grid,
+        in_specs=([_tile_spec_t(x.shape[1], T),
+                   _tile_spec_t(view.shape[1], T // N),
+                   _tile_spec_t(g_packed.shape[1], T)]
+                  + [_tile_spec_t(s.shape[1], T) for s in saved]
+                  + [_full_spec() for _ in flat_params]),
+        out_specs=tuple(dparam_specs),
+        interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
+    )(x, view, g_packed, *saved, *flat_params)
+    return outs
+
+
 def _lean_tile(base, num_samples):
     return max(num_samples, (base // num_samples) * num_samples)
+
+
+def _lean_saved_widths(cfg, flat_params):
+    """Widths of the saved-activation tensors, in kernel output order."""
+    W = cfg['net_width']
+    Wv = flat_params[2 * (cfg['net_depth'] + 2)].shape[1]
+    return ([W] * cfg['net_depth'] + [W] + [Wv] * cfg['net_depth_condition'])
+
+
+def _run_fwd_lean_save(x, view, flat_params, cfg, interpret):
+    N = cfg['num_samples']
+    T = _lean_tile(_ROW_TILE_LEAN_SAVE, N)
+    M = x.shape[0]
+    Mp = ((M + T - 1) // T) * T
+    x = _pad_rows(x, Mp)
+    view = _pad_rows(view, Mp // N)
+    nd = flat_params[2 * cfg['net_depth']].shape[1]
+    pack = 3 + nd
+    saved_w = sum(_lean_saved_widths(cfg, flat_params))
+    dtype = cfg['dtype']
+    grid = (Mp // T,)
+    kernel = functools.partial(_fwd_kernel_lean_save, cfg=cfg)
+    out, saved = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Mp, pack), jnp.float32),
+                   jax.ShapeDtypeStruct((Mp, saved_w), dtype)),
+        grid=grid,
+        in_specs=([_tile_spec_t(x.shape[1], T),
+                   _tile_spec_t(view.shape[1], T // N)]
+                  + [_full_spec() for _ in flat_params]),
+        out_specs=(_tile_spec_t(pack, T), _tile_spec_t(saved_w, T)),
+        interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
+    )(x, view, *flat_params)
+    return out[:M], saved   # saved stays row-padded
+
+
+def _run_bwd_lean_save(x, view, g_packed, saved, flat_params, cfg,
+                       interpret):
+    N = cfg['num_samples']
+    T = _lean_tile(_ROW_TILE_LEAN_SAVE, N)
+    M = x.shape[0]
+    Mp = ((M + T - 1) // T) * T
+    x = _pad_rows(x, Mp)
+    view = _pad_rows(view, Mp // N)
+    g_packed = _pad_rows(g_packed, Mp)
+    grid = (Mp // T,)
+    kernel = functools.partial(_bwd_kernel_lean_save, cfg=cfg)
+    dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
+                     for p in flat_params]
+    dparam_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for p in flat_params]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(dparam_shapes),
+        grid=grid,
+        in_specs=([_tile_spec_t(x.shape[1], T),
+                   _tile_spec_t(view.shape[1], T // N),
+                   _tile_spec_t(g_packed.shape[1], T),
+                   _tile_spec_t(saved.shape[1], T)]
+                  + [_full_spec() for _ in flat_params]),
+        out_specs=tuple(dparam_specs),
+        interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
+    )(x, view, g_packed, saved, *flat_params)
+    return outs
 
 
 def _run_fwd_lean(x, view, flat_params, cfg, interpret):
@@ -831,42 +1055,84 @@ def _run_bwd_lean(x, view, g_packed, flat_params, cfg, interpret):
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
+              compute_dtype, num_samples):
+    cfg = _cfg(net_depth, net_depth_condition, skip_index,
+               flat_params[0].shape[1], len(flat_params), compute_dtype)
+    cfg['num_samples'] = num_samples
+    cfg['saved_widths'] = _lean_saved_widths(cfg, flat_params)
+    return cfg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
                    net_depth_condition: int, skip_index: int,
-                   compute_dtype=jnp.bfloat16, interpret=None):
+                   compute_dtype=jnp.bfloat16, interpret=None,
+                   mode: str = 'recompute'):
     """Lean megakernel: (x [M, F] compute dtype, view [M/num_samples, Fv],
     params) -> packed [M, 3 + nd] f32 (rgb channels then density).
 
     Numerically equivalent to models/mlp.py:MLP with use_viewdirs (the rgb
     head assumes num_rgb_channels == 3).  NON-DIFFERENTIABLE in x/view
     (zero cotangents) — see the section comment.
+
+    mode='recompute': the backward re-runs the forward per tile in VMEM
+    (zero activation traffic, +1 forward of MXU work).
+    mode='save': the forward also streams each activation to HBM once in
+    the compute dtype and the backward reads them back — trades ~2 GB/level
+    of DMA for the recompute's MXU time, which is the win when the kernel
+    is MXU-bound (measured: in-kernel rate ~107 TF/s flat across tile
+    sizes, tools/mxu_probe2.py).
+    mode='hybrid': plain-XLA forward (bandwidth-optimal; its activations
+    materialize in HBM for free as autodiff residuals) + the zero-recompute
+    Pallas backward streaming them per tile — removes the 'save' forward's
+    explicit write cost entirely (fastest measured, DESIGN.md §10).
     """
     assert net_depth_condition >= 1, 'lean mode requires the view branch'
-    cfg = _cfg(net_depth, net_depth_condition, skip_index,
-               flat_params[0].shape[1], len(flat_params), compute_dtype)
-    cfg['num_samples'] = num_samples
+    cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
+                    compute_dtype, num_samples)
     wparams = [p.astype(compute_dtype) for p in flat_params]
+    if mode == 'hybrid':
+        rgb, density, _, _, _ = _fwd_body_lean_xla(
+            x.astype(compute_dtype), view, wparams, cfg)
+        return jnp.concatenate([rgb, density], axis=-1)
     return _run_fwd_lean(x, view, wparams, cfg, interpret)
 
 
 def _fused_mlp_lean_fwd(x, view, flat_params, num_samples, net_depth,
                         net_depth_condition, skip_index, compute_dtype,
-                        interpret):
-    out = fused_mlp_lean(x, view, flat_params, num_samples, net_depth,
-                         net_depth_condition, skip_index, compute_dtype,
-                         interpret)
-    return out, (x, view, flat_params)
+                        interpret, mode):
+    cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
+                    compute_dtype, num_samples)
+    wparams = [p.astype(compute_dtype) for p in flat_params]
+    if mode == 'hybrid':
+        rgb, density, hs, ys, bottleneck = _fwd_body_lean_xla(
+            x.astype(compute_dtype), view, wparams, cfg)
+        out = jnp.concatenate([rgb, density], axis=-1)
+        return out, (x, view, flat_params,
+                     tuple(hs) + (bottleneck,) + tuple(ys))
+    if mode == 'save':
+        out, saved = _run_fwd_lean_save(x, view, wparams, cfg, interpret)
+        return out, (x, view, flat_params, saved)
+    out = _run_fwd_lean(x, view, wparams, cfg, interpret)
+    return out, (x, view, flat_params, None)
 
 
 def _fused_mlp_lean_bwd(num_samples, net_depth, net_depth_condition,
-                        skip_index, compute_dtype, interpret, res, g_packed):
-    x, view, flat_params = res
-    cfg = _cfg(net_depth, net_depth_condition, skip_index,
-               flat_params[0].shape[1], len(flat_params), compute_dtype)
-    cfg['num_samples'] = num_samples
+                        skip_index, compute_dtype, interpret, mode, res,
+                        g_packed):
+    x, view, flat_params, saved = res
+    cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
+                    compute_dtype, num_samples)
     wparams = [p.astype(compute_dtype) for p in flat_params]
-    outs = _run_bwd_lean(x, view, g_packed, wparams, cfg, interpret)
+    if mode == 'hybrid':
+        outs = _run_bwd_lean_hybrid(x.astype(compute_dtype), view, g_packed,
+                                    list(saved), wparams, cfg, interpret)
+    elif mode == 'save':
+        outs = _run_bwd_lean_save(x, view, g_packed, saved, wparams, cfg,
+                                  interpret)
+    else:
+        outs = _run_bwd_lean(x, view, g_packed, wparams, cfg, interpret)
     dparams = [d.reshape(p.shape).astype(p.dtype)
                for d, p in zip(outs, flat_params)]
     return (jnp.zeros_like(x), jnp.zeros_like(view), tuple(dparams))

@@ -97,8 +97,15 @@ class MipNerf(nn.Module):
     #   'pallas_save' megakernel, activations streamed to HBM, no recompute
     #   'pallas_lean' megakernel with slimmed HBM boundary (bf16 encode in,
     #                 per-ray view features, packed output, parameter grads
-    #                 only — fastest; training-exact because the encode /
-    #                 view producers are parameter-free)
+    #                 only — training-exact because the encode / view
+    #                 producers are parameter-free), recompute backward
+    #   'pallas_lean_save'
+    #                 lean boundary + activations saved to HBM in bf16 by
+    #                 the forward and streamed back by the backward — no
+    #                 recompute MXU work
+    #   'pallas_hybrid'
+    #                 XLA forward (activations are free autodiff residuals)
+    #                 + the zero-recompute Pallas backward (fastest)
     mlp_backend: str = 'xla'
 
     def setup(self):

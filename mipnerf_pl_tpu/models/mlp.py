@@ -82,7 +82,9 @@ class MLP(nn.Module):
           raw_density: [batch, num_samples, num_density_channels] (float32)
         """
         num_samples = x.shape[-2]
-        if self.backend == 'pallas_lean' and view_direction is not None:
+        if (self.backend in ('pallas_lean', 'pallas_lean_save',
+                             'pallas_hybrid')
+                and view_direction is not None):
             return self._call_pallas_lean(x, view_direction)
         if (self.backend in ('pallas', 'pallas_save')
                 and view_direction is not None):
@@ -196,9 +198,12 @@ class MLP(nn.Module):
         # halves the kernel's input stream when compute dtype is bf16.
         x2 = x.reshape(-1, xyz_dim).astype(self.compute_dtype)
         view2 = view_direction.reshape(-1, view_direction.shape[-1])
+        mode = {'pallas_lean_save': 'save',
+                'pallas_hybrid': 'hybrid'}.get(self.backend, 'recompute')
         packed = fused_mlp_lean(x2, view2, tuple(flat), num_samples,
                                 self.net_depth, self.net_depth_condition,
-                                self.skip_index, self.compute_dtype, None)
+                                self.skip_index, self.compute_dtype, None,
+                                mode)
         rgb = packed[:, :self.num_rgb_channels]
         dens = packed[:, self.num_rgb_channels:]
         return (rgb.reshape(*lead, self.num_rgb_channels),

@@ -297,3 +297,117 @@ def test_model_pallas_lean_backend():
     for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_l)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_fused_mlp_lean_save_matches_recompute():
+    """Lean 'save' mode (activations streamed, zero recompute) must match
+    lean 'recompute' mode in outputs and all parameter gradients."""
+    from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
+
+    N = 8
+    mlp, params, flat, x, view, x2, view2 = _setup(M=96, cfg=CFG)
+    xdim = x2.shape[1]
+    x3 = x2.reshape(-1, N, xdim).reshape(-1, xdim)
+    view_ray = view[: x2.shape[0] // N]
+
+    def loss(flat, mode):
+        packed = fused_mlp_lean(x3, view_ray, flat, N, CFG['net_depth'],
+                                CFG['net_depth_condition'],
+                                CFG['skip_index'], jnp.float32, True, mode)
+        return jnp.sum(packed ** 2), packed
+
+    (l_r, p_r), g_r = jax.value_and_grad(
+        lambda f: loss(f, 'recompute'), has_aux=True)(tuple(flat))
+    (l_s, p_s), g_s = jax.value_and_grad(
+        lambda f: loss(f, 'save'), has_aux=True)(tuple(flat))
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_r),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(g_s, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_model_pallas_lean_save_backend():
+    """MipNerf(mlp_backend='pallas_lean_save') matches XLA with the SAME
+    params in outputs and parameter gradients."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2)
+    rays = random_rays(8)
+    m_x = MipNerf(**kw, mlp_backend='xla')
+    m_l = MipNerf(**kw, mlp_backend='pallas_lean_save')
+    params = m_x.init(jax.random.PRNGKey(0), rays, None, False, True)
+    r_x = m_x.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_l = m_l.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    np.testing.assert_allclose(np.asarray(r_l[-1].rgb),
+                               np.asarray(r_x[-1].rgb), rtol=1e-5, atol=1e-5)
+
+    def loss(model, p):
+        ret = model.apply(p, rays, jax.random.PRNGKey(2), True, True)
+        return sum(jnp.mean(lv.rgb ** 2) for lv in ret)
+
+    g_x = jax.grad(lambda p: loss(m_x, p))(params)
+    g_l = jax.grad(lambda p: loss(m_l, p))(params)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_l)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_model_pallas_hybrid_backend():
+    """MipNerf(mlp_backend='pallas_hybrid') — XLA forward + zero-recompute
+    Pallas backward — matches XLA in outputs and parameter gradients."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2)
+    rays = random_rays(8)
+    m_x = MipNerf(**kw, mlp_backend='xla')
+    m_h = MipNerf(**kw, mlp_backend='pallas_hybrid')
+    params = m_x.init(jax.random.PRNGKey(0), rays, None, False, True)
+    r_x = m_x.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_h = m_h.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    np.testing.assert_allclose(np.asarray(r_h[-1].rgb),
+                               np.asarray(r_x[-1].rgb), rtol=1e-5, atol=1e-5)
+
+    def loss(model, p):
+        ret = model.apply(p, rays, jax.random.PRNGKey(2), True, True)
+        return sum(jnp.mean(lv.rgb ** 2) for lv in ret)
+
+    g_x = jax.grad(lambda p: loss(m_x, p))(params)
+    g_h = jax.grad(lambda p: loss(m_h, p))(params)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_h)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_fused_mlp_hybrid_grads_match_flax():
+    """Hybrid-mode parameter grads vs the Flax MLP, including a
+    non-tile-aligned ray count."""
+    from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
+
+    N = 4
+    mlp, params, flat, x, view, x2, view2 = _setup(M=516, cfg=CFG)
+    xdim = x2.shape[1]
+    x3 = x2.reshape(-1, N, xdim)
+    view_ray = view[: x3.shape[0]]
+
+    def loss(flat):
+        packed = fused_mlp_lean(x3.reshape(-1, xdim), view_ray, flat, N,
+                                CFG['net_depth'], CFG['net_depth_condition'],
+                                CFG['skip_index'], jnp.float32, True,
+                                'hybrid')
+        return jnp.sum(packed ** 2)
+
+    def loss_flax(p):
+        rgb, dens = mlp.apply(p, x3, view_ray)
+        return jnp.sum(rgb ** 2) + jnp.sum(dens ** 2)
+
+    g_h = jax.grad(loss)(tuple(flat))
+    g_flax = flatten_params(jax.grad(loss_flax)(params)['params'],
+                            CFG['net_depth'], CFG['net_depth_condition'])
+    for got, want in zip(g_h, g_flax):
+        np.testing.assert_allclose(np.asarray(got).reshape(want.shape),
+                                   np.asarray(want), rtol=2e-4, atol=2e-4)
