@@ -227,11 +227,80 @@ def main():
             return jnp.sum(out[:1, :1].astype(f32))
         return lambda: f(x0)
 
+
+    # --- wide_out_dma: manual double-buffered streaming of the wide output
+    # (out ref lives in HBM; kernel DMAs each tile's scratch slot out and
+    # only waits on that slot two steps later) ----------------------------
+    def k_wide_dma(x_ref, *refs):
+        params = [r[:] for r in refs[:DEPTH]]
+        o, wide_hbm = refs[DEPTH], refs[DEPTH + 1]
+        scratch, sems = refs[DEPTH + 2], refs[DEPTH + 3]
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+
+        def dma(for_step, s):
+            return pltpu.make_async_copy(
+                scratch.at[s],
+                wide_hbm.at[pl.ds(for_step * TILE, TILE), :],
+                sems.at[s])
+
+        @pl.when(i >= 2)
+        def _():
+            dma(i - 2, slot).wait()
+
+        hs = []
+        h = x_ref[:]
+        for d in range(DEPTH):
+            h = jnp.dot(h, params[d], preferred_element_type=f32) \
+                .astype(jnp.bfloat16)
+            hs.append(h)
+        o[:] = h
+        val = jnp.concatenate(hs + [h, h[:, :128]], axis=-1)
+
+        @pl.when(slot == 0)
+        def _():
+            scratch[0] = val
+
+        @pl.when(slot == 1)
+        def _():
+            scratch[1] = val
+        dma(i, slot).start()
+
+        @pl.when(i == n - 1)
+        def _():
+            @pl.when(n >= 2)
+            def _():
+                dma(i - 1, jax.lax.rem(i - 1, 2)).wait()
+            dma(i, slot).wait()
+
+    def run_wide_dma():
+        @jax.jit
+        def f(x):
+            def body(c, _):
+                out, _w = pl.pallas_call(
+                    k_wide_dma,
+                    out_shape=(jax.ShapeDtypeStruct((M, W), jnp.bfloat16),
+                               jax.ShapeDtypeStruct((M, SAVED_W),
+                                                    jnp.bfloat16)),
+                    grid=grid,
+                    in_specs=[tile_in] + [wfull] * DEPTH,
+                    out_specs=(tile_in,
+                               pl.BlockSpec(memory_space=pltpu.ANY)),
+                    scratch_shapes=[
+                        pltpu.VMEM((2, TILE, SAVED_W), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((2,))],
+                    compiler_params=cp)(c, *ws)
+                return out, ()
+            out, _ = jax.lax.scan(body, x, None, length=K_SCAN)
+            return jnp.sum(out[:1, :1].astype(f32))
+        return lambda: f(x0)
+
     names = sys.argv[1:] or ['clean', 'accum_out', 'accum_scratch',
                              'wide_out', 'wide_in']
     fns = dict(clean=run_clean, accum_out=run_accum,
                accum_scratch=run_scratch, wide_out=run_wide_out,
-               wide_in=run_wide_in)
+               wide_in=run_wide_in, wide_out_dma=run_wide_dma)
     for n in names:
         try:
             timed(n, fns[n]())
