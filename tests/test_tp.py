@@ -79,3 +79,24 @@ def test_place_state_restores_tp_layout():
     mu0 = jax.tree.leaves(
         placed['opt_state'][0].mu['params']['mlp']['trunk_0'])[1 - 1]
     assert not mu0.sharding.is_fully_replicated
+
+
+def test_pallas_backend_on_sharded_mesh(tmp_path):
+    """The production Pallas backend (pallas_lean_save) must compose with
+    the dp x tp sharded train step — the pallas_call partitions along the
+    batch axis under SPMD — and match the XLA backend's loss."""
+    scene = make_blender_scene(str(tmp_path / 's'), n_frames=2, size=8)
+
+    losses = {}
+    for backend in ('xla', 'pallas_lean_save'):
+        hp = tiny_hparams()
+        hp['parallel.model_axis'] = 2
+        hp['nerf.mlp_backend'] = backend
+        system = MipNeRFSystem(hp)
+        system.setup(scene, 'blender', prefetch=0)
+        state = system.init_state()
+        rays, pixels = next(system.batcher)
+        step = system.make_train_step(donate=False)
+        state, aux = step(state, rays, pixels, jax.random.PRNGKey(0))
+        losses[backend] = float(aux['loss'])
+    assert abs(losses['xla'] - losses['pallas_lean_save']) < 1e-4, losses
