@@ -178,3 +178,23 @@ def test_checkpoint_topk_retention(tmp_path, system, scene):
     last_steps = [int(s) for s in os.listdir(tmp_path / 'ckpt' / 'last')]
     assert last_steps == [3]
     mgr.close()
+
+
+def test_render_uses_xla_backend_for_pallas_training(tmp_path):
+    """Training with a Pallas MLP backend must not slow rendering: the
+    system renders val/eval images through an XLA-backend twin model with
+    the SAME params (trees are interchangeable)."""
+    from tests.helpers import make_blender_scene, tiny_hparams
+
+    scene = make_blender_scene(str(tmp_path / 's'), n_frames=2, size=8)
+    hp = tiny_hparams()
+    hp['nerf.mlp_backend'] = 'pallas_lean_save'
+    system = MipNeRFSystem(hp)
+    assert system.model.mlp_backend == 'pallas_lean_save'
+    assert system.eval_model.mlp_backend == 'xla'
+    system.setup(scene, 'blender', prefetch=0)
+    state = system.init_state()
+    rays, _ = system.val_dataset[0]
+    out = system.render_image(state['params'], rays)
+    img = out['fine_rgb']
+    assert img.shape[-1] == 3 and np.all(np.isfinite(np.asarray(img)))
