@@ -46,8 +46,12 @@ _ROW_TILE_BWD = int(os.environ.get('MLP_BWD_TILE', '2048'))
 _ROW_TILE_SAVED_FWD = int(os.environ.get('MLP_SAVE_FWD_TILE', '768'))
 _ROW_TILE_SAVED_BWD = int(os.environ.get('MLP_SAVE_BWD_TILE', '512'))
 # lean-save streams ~10 bf16 activations/tile each way; the slim boundary
-# leaves VMEM headroom for larger tiles than classic 'save' mode.
+# leaves VMEM headroom for larger tiles than classic 'save' mode.  The
+# forward holds less live state than the backward (no dparam accumulators,
+# no cotangent chain) so its tile can be tuned independently.
 _ROW_TILE_LEAN_SAVE = int(os.environ.get('MLP_LEAN_SAVE_TILE', '2048'))
+_ROW_TILE_LEAN_SAVE_FWD = int(os.environ.get('MLP_LEAN_SAVE_FWD_TILE',
+                                             str(_ROW_TILE_LEAN_SAVE)))
 
 
 # The default 16 MB scoped-VMEM cap is far below the chip's physical VMEM;
@@ -942,7 +946,7 @@ def _lean_saved_widths(cfg, flat_params):
 
 def _run_fwd_lean_save(x, view, flat_params, cfg, interpret):
     N = cfg['num_samples']
-    T = _lean_tile(_ROW_TILE_LEAN_SAVE, N)
+    T = _lean_tile(_ROW_TILE_LEAN_SAVE_FWD, N)
     M = x.shape[0]
     Mp = ((M + T - 1) // T) * T
     x = _pad_rows(x, Mp)
@@ -977,6 +981,10 @@ def _run_bwd_lean_save(x, view, g_packed, saved, flat_params, cfg,
     x = _pad_rows(x, Mp)
     view = _pad_rows(view, Mp // N)
     g_packed = _pad_rows(g_packed, Mp)
+    if saved.shape[0] != Mp:
+        # fwd/bwd tile sizes differ AND M is not a common multiple: re-pad
+        # the saved stream (an HBM copy — only hit off the fast path).
+        saved = _pad_rows(saved[:M], Mp)
     grid = (Mp // T,)
     kernel = functools.partial(_bwd_kernel_lean_save, cfg=cfg)
     dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)

@@ -327,6 +327,41 @@ def test_fused_mlp_lean_save_matches_recompute():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_lean_save_mismatched_fwd_bwd_tiles(monkeypatch):
+    """When MLP_LEAN_SAVE_FWD_TILE != MLP_LEAN_SAVE_TILE and the row count
+    is not a common multiple, the backward must re-pad the saved-activation
+    stream (kernels/mlp.py:_run_bwd_lean_save) — grads must still match the
+    recompute-mode reference exactly."""
+    import mipnerf_pl_tpu.kernels.mlp as kmlp
+    from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
+
+    # N=8, M=96: fwd tile 64 -> Mp_fwd=128; bwd tile 48 -> Mp_bwd=96.
+    monkeypatch.setattr(kmlp, '_ROW_TILE_LEAN_SAVE_FWD', 64)
+    monkeypatch.setattr(kmlp, '_ROW_TILE_LEAN_SAVE', 48)
+
+    N = 8
+    mlp, params, flat, x, view, x2, view2 = _setup(M=96, cfg=CFG)
+    xdim = x2.shape[1]
+    x3 = x2.reshape(-1, N, xdim).reshape(-1, xdim)
+    view_ray = view[: x2.shape[0] // N]
+
+    def loss(flat, mode):
+        packed = fused_mlp_lean(x3, view_ray, flat, N, CFG['net_depth'],
+                                CFG['net_depth_condition'],
+                                CFG['skip_index'], jnp.float32, True, mode)
+        return jnp.sum(packed ** 2), packed
+
+    (l_r, p_r), g_r = jax.value_and_grad(
+        lambda f: loss(f, 'recompute'), has_aux=True)(tuple(flat))
+    (l_s, p_s), g_s = jax.value_and_grad(
+        lambda f: loss(f, 'save'), has_aux=True)(tuple(flat))
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_r),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(g_s, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_model_pallas_lean_save_backend():
     """MipNerf(mlp_backend='pallas_lean_save') matches XLA with the SAME
     params in outputs and parameter gradients."""
