@@ -404,9 +404,13 @@ def _full_spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
-def _tile_spec(width):
-    return pl.BlockSpec((_ROW_TILE, width), lambda i: (i, 0),
+def _tile_spec_t(width, tile):
+    return pl.BlockSpec((tile, width), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+
+
+def _tile_spec(width):
+    return _tile_spec_t(width, _ROW_TILE)
 
 
 def _pad_rows(a, m_padded):
@@ -508,11 +512,6 @@ def _run_fwd_save(x, view, flat_params, cfg, interpret):
     rgb, dens = outs[0][:M], outs[1][:M]
     saved = tuple(o[:M] for o in outs[2:])
     return rgb, dens, saved
-
-
-def _tile_spec_t(width, tile):
-    return pl.BlockSpec((tile, width), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
 
 
 def _run_bwd_saved(x, view, g_rgb, g_dens, flat_params, saved, cfg,
@@ -648,7 +647,6 @@ def _fwd_body_lean(x, view_ray, params, cfg):
         hs.append(h)
         if i % skip == 0 and i > 0:
             h = jnp.concatenate([h, x], axis=-1)
-    trunk_out = h
     density = dense(h, net_depth)
     bottleneck = dense(h, net_depth + 1).astype(dtype)
 
@@ -667,7 +665,7 @@ def _fwd_body_lean(x, view_ray, params, cfg):
         y = jnp.maximum(dense(y, net_depth + 2 + j), 0.0).astype(dtype)
         ys.append(y)
     rgb = dense(y, net_depth + 2 + nvd)
-    return rgb, density, hs, ys, trunk_out, bottleneck
+    return rgb, density, hs, ys, bottleneck
 
 
 def _fwd_kernel_lean(x_ref, view_ref, *refs, cfg):
@@ -675,7 +673,7 @@ def _fwd_kernel_lean(x_ref, view_ref, *refs, cfg):
     params = [r[:] for r in refs[:n_params]]
     out_ref = refs[n_params]
     x = x_ref[:].astype(cfg['dtype'])
-    rgb, density, _, _, _, _ = _fwd_body_lean(x, view_ref[:], params, cfg)
+    rgb, density, _, _, _ = _fwd_body_lean(x, view_ref[:], params, cfg)
     out_ref[:] = jnp.concatenate([rgb, density], axis=-1)
 
 
@@ -785,7 +783,7 @@ def _bwd_kernel_lean(x_ref, view_ref, g_ref, *refs, cfg):
     dparam_refs = refs[n_params:]
     x = x_ref[:].astype(cfg['dtype'])
     vr = view_ref[:]
-    _, _, hs, ys, _, bottleneck = _fwd_body_lean(x, vr, params, cfg)
+    _, _, hs, ys, bottleneck = _fwd_body_lean(x, vr, params, cfg)
     _lean_param_grads(x, vr, g_ref[:], hs, ys, bottleneck, params,
                       dparam_refs, cfg)
 
@@ -801,7 +799,7 @@ def _fwd_kernel_lean_save(x_ref, view_ref, *refs, cfg):
     out_ref = refs[n_params]
     saved_ref = refs[n_params + 1]
     x = x_ref[:].astype(cfg['dtype'])
-    rgb, density, hs, ys, _, bottleneck = _fwd_body_lean(
+    rgb, density, hs, ys, bottleneck = _fwd_body_lean(
         x, view_ref[:], params, cfg)
     out_ref[:] = jnp.concatenate([rgb, density], axis=-1)
     saved_ref[:] = jnp.concatenate(hs + [bottleneck] + ys, axis=-1)
@@ -900,37 +898,50 @@ def _bwd_kernel_lean_hybrid(x_ref, view_ref, g_ref, *refs, cfg):
                       dparam_refs, cfg)
 
 
-def _run_bwd_lean_hybrid(x, view, g_packed, saved, flat_params, cfg,
-                         interpret):
+def _run_bwd_lean_common(x, view, g_packed, extra, kernel_body, T, cfg,
+                         flat_params, interpret):
+    """Shared skeleton of the lean backward family: zero-pad the row streams
+    to a multiple of the row tile T, stream (x, view, g_packed, *extra) per
+    tile, and accumulate full-VMEM parameter-gradient outputs across the
+    grid.  `extra` holds the saved-activation streams (none for recompute
+    mode, one packed array for save mode, per-tensor XLA residuals for
+    hybrid mode); streams already padded to the right row count pass
+    through, anything else is re-padded (an HBM copy — off the fast path)."""
     N = cfg['num_samples']
-    T = _lean_tile(_ROW_TILE_LEAN_SAVE, N)
     M = x.shape[0]
     Mp = ((M + T - 1) // T) * T
     x = _pad_rows(x, Mp)
     view = _pad_rows(view, Mp // N)
     g_packed = _pad_rows(g_packed, Mp)
-    saved = [_pad_rows(s, Mp) for s in saved]
-    grid = (Mp // T,)
-    kernel = functools.partial(_bwd_kernel_lean_hybrid, cfg=cfg)
+    extra = [s if s.shape[0] == Mp else _pad_rows(s[:M], Mp) for s in extra]
+    kernel = functools.partial(kernel_body, cfg=cfg)
     dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
                      for p in flat_params]
+    # dparam outputs are revisited every grid step (constant index map).
     dparam_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
                     for p in flat_params]
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=tuple(dparam_shapes),
-        grid=grid,
+        grid=(Mp // T,),
         in_specs=([_tile_spec_t(x.shape[1], T),
                    _tile_spec_t(view.shape[1], T // N),
                    _tile_spec_t(g_packed.shape[1], T)]
-                  + [_tile_spec_t(s.shape[1], T) for s in saved]
+                  + [_tile_spec_t(s.shape[1], T) for s in extra]
                   + [_full_spec() for _ in flat_params]),
         out_specs=tuple(dparam_specs),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
-    )(x, view, g_packed, *saved, *flat_params)
-    return outs
+    )(x, view, g_packed, *extra, *flat_params)
+
+
+def _run_bwd_lean_hybrid(x, view, g_packed, saved, flat_params, cfg,
+                         interpret):
+    return _run_bwd_lean_common(
+        x, view, g_packed, list(saved), _bwd_kernel_lean_hybrid,
+        _lean_tile(_ROW_TILE_LEAN_SAVE, cfg['num_samples']), cfg,
+        flat_params, interpret)
 
 
 def _lean_tile(base, num_samples):
@@ -974,38 +985,10 @@ def _run_fwd_lean_save(x, view, flat_params, cfg, interpret):
 
 def _run_bwd_lean_save(x, view, g_packed, saved, flat_params, cfg,
                        interpret):
-    N = cfg['num_samples']
-    T = _lean_tile(_ROW_TILE_LEAN_SAVE, N)
-    M = x.shape[0]
-    Mp = ((M + T - 1) // T) * T
-    x = _pad_rows(x, Mp)
-    view = _pad_rows(view, Mp // N)
-    g_packed = _pad_rows(g_packed, Mp)
-    if saved.shape[0] != Mp:
-        # fwd/bwd tile sizes differ AND M is not a common multiple: re-pad
-        # the saved stream (an HBM copy — only hit off the fast path).
-        saved = _pad_rows(saved[:M], Mp)
-    grid = (Mp // T,)
-    kernel = functools.partial(_bwd_kernel_lean_save, cfg=cfg)
-    dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
-                     for p in flat_params]
-    dparam_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
-                    for p in flat_params]
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=tuple(dparam_shapes),
-        grid=grid,
-        in_specs=([_tile_spec_t(x.shape[1], T),
-                   _tile_spec_t(view.shape[1], T // N),
-                   _tile_spec_t(g_packed.shape[1], T),
-                   _tile_spec_t(saved.shape[1], T)]
-                  + [_full_spec() for _ in flat_params]),
-        out_specs=tuple(dparam_specs),
-        interpret=_resolve_interpret(interpret),
-        compiler_params=_COMPILER_PARAMS,
-    )(x, view, g_packed, saved, *flat_params)
-    return outs
+    return _run_bwd_lean_common(
+        x, view, g_packed, [saved], _bwd_kernel_lean_save,
+        _lean_tile(_ROW_TILE_LEAN_SAVE, cfg['num_samples']), cfg,
+        flat_params, interpret)
 
 
 def _run_fwd_lean(x, view, flat_params, cfg, interpret):
@@ -1034,33 +1017,10 @@ def _run_fwd_lean(x, view, flat_params, cfg, interpret):
 
 
 def _run_bwd_lean(x, view, g_packed, flat_params, cfg, interpret):
-    N = cfg['num_samples']
-    T = _lean_tile(_ROW_TILE_BWD, N)
-    M = x.shape[0]
-    Mp = ((M + T - 1) // T) * T
-    x = _pad_rows(x, Mp)
-    view = _pad_rows(view, Mp // N)
-    g_packed = _pad_rows(g_packed, Mp)
-    grid = (Mp // T,)
-    kernel = functools.partial(_bwd_kernel_lean, cfg=cfg)
-    dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
-                     for p in flat_params]
-    dparam_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
-                    for p in flat_params]
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=tuple(dparam_shapes),
-        grid=grid,
-        in_specs=([_tile_spec_t(x.shape[1], T),
-                   _tile_spec_t(view.shape[1], T // N),
-                   _tile_spec_t(g_packed.shape[1], T)]
-                  + [_full_spec() for _ in flat_params]),
-        out_specs=tuple(dparam_specs),
-        interpret=_resolve_interpret(interpret),
-        compiler_params=_COMPILER_PARAMS,
-    )(x, view, g_packed, *flat_params)
-    return outs
+    return _run_bwd_lean_common(
+        x, view, g_packed, [], _bwd_kernel_lean,
+        _lean_tile(_ROW_TILE_BWD, cfg['num_samples']), cfg,
+        flat_params, interpret)
 
 
 def _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,

@@ -109,6 +109,20 @@ class MipNerf(nn.Module):
     mlp_backend: str = 'xla'
 
     def setup(self):
+        if (self.mlp_backend in ('pallas_lean', 'pallas_lean_save',
+                                 'pallas_hybrid')
+                and not self.stop_resample_grad):
+            # The lean kernels return zero cotangents for their encoded
+            # inputs (parameter grads only).  That is training-exact only
+            # while stop_resample_grad blocks the one param-dependent input
+            # path (level-0 weights -> level-1 resampled positions); with
+            # stop_resample_grad=False they would silently drop that
+            # gradient term.
+            raise ValueError(
+                f'nerf.mlp_backend={self.mlp_backend!r} requires '
+                f'nerf.stop_resample_grad=True (its backward produces '
+                f'parameter gradients only); use the "xla" or "pallas" '
+                f'backend to train with resample gradients enabled')
         mlp_cls = nn.remat(MLP) if self.remat == 'mlp' else MLP
         self.mlp = mlp_cls(
             net_depth=self.mlp_net_depth,

@@ -127,29 +127,38 @@ class MLP(nn.Module):
         if view_direction is not None:
             bottleneck = dense('bottleneck', self.net_width, *trunk_parts)
             view = view_direction.astype(cd)
+
+            def split_dense(name, w, per_sample_in):
+                """concat(per_sample_in, view) @ kernel + bias WITHOUT
+                repeating the per-ray view features to [B*N, F_v]: project
+                them ONCE per ray ([B, F_v] rows) and broadcast-add into the
+                per-sample projection (reference models/mip_nerf.py:106
+                repeats, then matmuls at B*N)."""
+                w_in = per_sample_in.shape[-1]
+                k, b = _DenseParams(w, name=name)(w_in + view.shape[-1])
+                per_sample = per_sample_in @ k[:w_in].astype(cd)
+                per_ray = view @ k[w_in:].astype(cd) + b.astype(cd)
+                out = per_sample.reshape(-1, num_samples, w) \
+                    + per_ray[:, None, :]
+                return out.reshape(-1, w)
+
             for i in range(self.net_depth_condition):
                 if i == 0:
-                    # The view features are shared by all samples of a ray:
-                    # project them ONCE per ray ([B, F_v] rows) and
-                    # broadcast-add into the bottleneck projection, instead
-                    # of repeating the features to [B*N, F_v] (reference
-                    # models/mip_nerf.py:106 repeats, then matmuls at B*N).
-                    w = self.net_width_condition
-                    k, b = _DenseParams(w, name='view_0')(
-                        self.net_width + view.shape[-1])
-                    per_sample = bottleneck @ k[:self.net_width].astype(cd)
-                    per_ray = view @ k[self.net_width:].astype(cd) \
-                        + b.astype(cd)
-                    x = per_sample.reshape(-1, num_samples, w) \
-                        + per_ray[:, None, :]
-                    x = self._act(x.reshape(-1, w))
+                    x = self._act(split_dense(
+                        'view_0', self.net_width_condition, bottleneck))
                 else:
                     x = self._act(dense(f'view_{i}',
                                         self.net_width_condition, x))
-            rgb_parts = (x,)
+            if self.net_depth_condition == 0:
+                # No conditioning layers: the rgb head itself consumes
+                # concat(bottleneck, view) (reference models/mip_nerf.py:
+                # 66-73 with net_depth_condition=0).
+                raw_rgb = split_dense('rgb', self.num_rgb_channels,
+                                      bottleneck)
+            else:
+                raw_rgb = dense('rgb', self.num_rgb_channels, x)
         else:
-            rgb_parts = trunk_parts
-        raw_rgb = dense('rgb', self.num_rgb_channels, *rgb_parts)
+            raw_rgb = dense('rgb', self.num_rgb_channels, *trunk_parts)
         # Heads return float32 regardless of compute dtype: the activations /
         # compositing downstream are precision-critical.
         return (raw_rgb.reshape(*lead, self.num_rgb_channels).astype(jnp.float32),

@@ -461,7 +461,25 @@ class MipNeRFSystem:
                   f'{jax.default_backend()!r} backend here; skipping '
                   f'(set MIPNERF_FORCE_PROFILE=1 to force)', flush=True)
             profile_steps = 0
-        trace_dir = os.path.join(out_dir, 'logs', exp_name, 'plugins')
+        # jax.profiler.trace appends plugins/profile to its log_dir; handing
+        # it the run's TB logdir puts the trace exactly where TensorBoard's
+        # profile plugin looks (logs/<exp>/plugins/profile).
+        trace_dir = os.path.join(out_dir, 'logs', exp_name)
+
+        def next_shaped(remaining):
+            """Fetch a batch shaped as a [k, ...] dispatch stack (k <= spc;
+            ragged on the final call only)."""
+            rays, pixels = next(self.batcher)
+            if spc == 1:
+                rays = namedtuple_map(lambda x: x[None] if x.ndim == 2 else x,
+                                      rays)
+                pixels = pixels[None] if pixels.ndim == 2 else pixels
+            k = min(spc, remaining)
+            if k < spc:
+                # Ragged final call: slice the stack (one extra compile, once).
+                rays = namedtuple_map(lambda x: x[:k], rays)
+                pixels = pixels[:k]
+            return rays, pixels, k
 
         t0 = time.time()
         rays_since_log = 0
@@ -470,26 +488,27 @@ class MipNeRFSystem:
         step = start_step
         while step < max_steps:
             t_data = time.time()
-            rays, pixels = next(self.batcher)
+            rays, pixels, k = next_shaped(max_steps - step)
             prof.add('data', time.time() - t_data)
             t_step = time.time()
-            if spc == 1:
-                rays = namedtuple_map(lambda x: x[None] if x.ndim == 2 else x,
-                                      rays)
-                pixels = pixels[None] if pixels.ndim == 2 else pixels
-            k = min(spc, max_steps - step)
-            if k < spc:
-                # Ragged final call: slice the stack (one extra compile, once).
-                rays = namedtuple_map(lambda x: x[:k], rays)
-                pixels = pixels[:k]
             if profile_steps > 0 and dispatch_index == 1:
                 # Second dispatch = warmed executable (the first compiles).
+                # Trace whole dispatches covering >= profile_steps scanned
+                # steps, bounded by max_steps, a fresh batch each; then fall
+                # through so logging/validation/checkpointing still run.
+                n_disp = max(1, (profile_steps + spc - 1) // spc)
                 try:
                     with jax.profiler.trace(trace_dir):
-                        for _ in range(max(1, (profile_steps + k - 1) // k)):
+                        for i in range(n_disp):
+                            if i > 0:
+                                if step + spc > max_steps:
+                                    break
+                                rays, pixels, k = next_shaped(
+                                    max_steps - step)
                             state, aux = train_many(state, rays, pixels,
                                                     base_key)
                             step += k
+                            rays_since_log += self.batch_size * k
                         jax.block_until_ready(aux['loss'])
                     print(f'--profile: trace written to {trace_dir}',
                           flush=True)
@@ -497,13 +516,12 @@ class MipNeRFSystem:
                     print(f'--profile: trace failed ({e}); continuing',
                           flush=True)
                 profile_steps = 0
-                dispatch_index += 1
-                continue
-            state, aux = train_many(state, rays, pixels, base_key)
+            else:
+                state, aux = train_many(state, rays, pixels, base_key)
+                step += k
+                rays_since_log += self.batch_size * k
             prof.add('train_dispatch', time.time() - t_step)
             dispatch_index += 1
-            step += k
-            rays_since_log += self.batch_size * k
 
             if step % log_every == 0 or step == start_step + spc:
                 aux = jax.device_get(aux)   # [K]-stacked scalars

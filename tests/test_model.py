@@ -147,3 +147,61 @@ def test_jit_forward():
     fwd = jax.jit(lambda p, r, k: model.apply(p, r, k, True, True))
     ret = fwd(params, rays, jax.random.PRNGKey(0))
     assert ret[-1].rgb.shape == (8, 3)
+
+
+def test_lean_backend_rejects_resample_grad():
+    """The lean kernels produce parameter grads only; combining them with
+    nerf.stop_resample_grad=False would silently drop the level-0-weights ->
+    level-1-samples gradient path, so the model must refuse."""
+    import pytest
+
+    rays = random_rays(8)
+    for backend in ('pallas_lean', 'pallas_lean_save', 'pallas_hybrid'):
+        model = MipNerf(**SMALL, mlp_backend=backend,
+                        stop_resample_grad=False)
+        with pytest.raises(ValueError, match='stop_resample_grad'):
+            _init(model, rays)
+    # xla/pallas backends ARE input-differentiable: must still work.
+    model = MipNerf(**SMALL, mlp_backend='xla', stop_resample_grad=False)
+    _init(model, rays)
+
+
+def test_mlp_no_condition_layers_uses_view():
+    """net_depth_condition=0: the rgb head consumes concat(bottleneck, view)
+    directly (reference models/mip_nerf.py:66-73) — the view input must
+    affect the output and the rgb kernel must span both."""
+    from mipnerf_pl_tpu.models.mlp import MLP
+
+    mlp = MLP(net_depth=3, net_width=16, net_depth_condition=0,
+              net_width_condition=8, skip_index=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 8, 10)).astype(np.float32))
+    view = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))
+    params = mlp.init(jax.random.PRNGKey(0), x, view)
+    assert params['params']['rgb']['kernel'].shape == (16 + 6, 3)
+
+    rgb1, dens1 = mlp.apply(params, x, view)
+    rgb2, dens2 = mlp.apply(params, x, view + 1.0)
+    assert not np.allclose(np.asarray(rgb1), np.asarray(rgb2))
+    np.testing.assert_allclose(np.asarray(dens1), np.asarray(dens2))
+
+    # Numeric parity with the reference formulation: trunk -> bottleneck ->
+    # rgb on the explicit concat of bottleneck and repeated view features.
+    p = jax.tree.map(np.asarray, params['params'])
+    h = np.asarray(x).reshape(-1, 10)
+    inputs, skip = h, None
+    for i in range(3):
+        parts = h if skip is None else np.concatenate([h, skip], -1)
+        h = np.maximum(parts @ p[f'trunk_{i}']['kernel']
+                       + p[f'trunk_{i}']['bias'], 0.0)
+        skip = inputs if (i % 2 == 0 and i > 0) else None
+    trunk = h if skip is None else np.concatenate([h, skip], -1)
+    dens_ref = trunk @ p['density']['kernel'] + p['density']['bias']
+    bott = trunk @ p['bottleneck']['kernel'] + p['bottleneck']['bias']
+    view_rep = np.repeat(np.asarray(view), 8, axis=0)
+    rgb_ref = (np.concatenate([bott, view_rep], -1) @ p['rgb']['kernel']
+               + p['rgb']['bias'])
+    np.testing.assert_allclose(np.asarray(rgb1).reshape(-1, 3), rgb_ref,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dens1).reshape(-1, 1), dens_ref,
+                               rtol=1e-5, atol=1e-5)

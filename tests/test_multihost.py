@@ -72,11 +72,19 @@ def test_profile_flag_writes_trace(tmp_path):
     assert profiler_supported()   # tests run on the CPU backend
     scene = make_blender_scene(str(tmp_path / 'scene'), n_frames=2, size=8)
     hp = tiny_hparams()
-    hp.update({'profile': 2, 'exp_name': 'prof',
+    # profile=5 at steps_per_call=2 wants 3 traced dispatches but max_steps
+    # bounds the run: training must stop at exactly max_steps and still
+    # write the final checkpoint.
+    hp.update({'profile': 5, 'exp_name': 'prof',
                'train.steps_per_call': 2, 'val.check_interval': 100})
     system = MipNeRFSystem(hp)
     system.fit(scene, 'blender', str(tmp_path / 'out'), max_steps=6,
                verbose=False)
-    trace_root = tmp_path / 'out' / 'logs' / 'prof' / 'plugins'
+    # TensorBoard's profile plugin looks for <logdir>/<run>/plugins/profile.
+    trace_root = tmp_path / 'out' / 'logs' / 'prof' / 'plugins' / 'profile'
     files = [p for p in trace_root.rglob('*') if p.is_file()]
     assert files, f'no profiler trace written under {trace_root}'
+    from mipnerf_pl_tpu.train.ckpt import CheckpointManager
+    ckpt_dir = tmp_path / 'out' / 'ckpt' / 'prof'
+    assert CheckpointManager(str(ckpt_dir)).latest_step() == 6, \
+        'profiled run must still end at max_steps with a final checkpoint'
