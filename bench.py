@@ -72,6 +72,8 @@ def main():
 
 
 def _run(hparams):
+    import os
+
     import jax
 
     from mipnerf_pl_tpu.train.system import MipNeRFSystem
@@ -90,7 +92,7 @@ def _run(hparams):
                 near=ones * 2.0, far=ones * 6.0)
     # K-step scanned trainer: one dispatch = K on-device steps (the tunnel
     # to the TPU has ~30 ms dispatch/sync latency; scanning amortizes it).
-    K = 25
+    K = int(os.environ.get('BENCH_K', '25'))
     from mipnerf_pl_tpu.parallel.mesh import stacked_batch_sharding
     stack_sh = stacked_batch_sharding(system.mesh)
     rays = jax.tree.map(
