@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Iterator, Optional
 
 import jax
@@ -107,17 +108,26 @@ class TrainBatcher:
     def close(self):
         self._stop.set()
         if self._queue is not None:
-            # Drain until the producer has observed the stop flag and exited;
-            # a put racing a single drain pass could otherwise leave one batch
-            # pinned on device.
-            while True:
+            def drain():
                 try:
                     while True:
                         self._queue.get_nowait()
                 except queue.Empty:
                     pass
-                if self._thread is None or not self._thread.is_alive():
+            # Drain until the producer has observed the stop flag and
+            # exited, then drain ONCE MORE: the producer's final put can
+            # land between a drain pass and the liveness check, which would
+            # otherwise leave one batch pinned on device.  The deadline
+            # bounds the wait so a producer wedged inside device_put cannot
+            # hang close() forever (it is a daemon thread; process exit
+            # still reclaims it).
+            deadline = time.monotonic() + 10.0
+            while True:
+                drain()
+                if (self._thread is None or not self._thread.is_alive()
+                        or time.monotonic() > deadline):
                     break
                 self._thread.join(timeout=0.1)
+            drain()
         elif self._thread is not None:
             self._thread.join(timeout=5.0)

@@ -760,9 +760,10 @@ def _lean_param_grads(x, vr, g_packed, hs, ys, bottleneck, params,
     g_trunk = d_dense(net_depth + 1, trunk_parts, g_bott, trunk_need)[0]
     g_trunk += d_dense(net_depth, trunk_parts, g_dens, trunk_need)[0]
 
+    # g_trunk is always [T, W]: d_dense returns only the hs-part gradient
+    # (the x halves of skip concats are need=False everywhere — the encoded
+    # input carries no cotangent in the lean design).
     for i in reversed(range(net_depth)):
-        if i % skip == 0 and i > 0:
-            g_trunk = g_trunk[:, :W]   # x half of the concat: no grad
         g_trunk = jnp.where(hs[i].astype(f32) > 0.0, g_trunk, 0.0)
         if i == 0:
             d_dense(i, [x], g_trunk, [False])
@@ -1056,7 +1057,12 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
     Pallas backward streaming them per tile — removes the 'save' forward's
     explicit write cost entirely (fastest measured, DESIGN.md §10).
     """
-    assert net_depth_condition >= 1, 'lean mode requires the view branch'
+    if net_depth_condition < 1:
+        # A real raise, not an assert: under `python -O` an assert would
+        # vanish and _fwd_body_lean would mis-index the rgb head as view_0.
+        raise ValueError('fused_mlp_lean requires net_depth_condition >= 1 '
+                         '(the view branch); use the "xla" backend for '
+                         'net_depth_condition == 0')
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
                     compute_dtype, num_samples)
     wparams = [p.astype(compute_dtype) for p in flat_params]

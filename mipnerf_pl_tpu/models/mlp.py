@@ -196,8 +196,14 @@ class MLP(nn.Module):
         to every other backend."""
         from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
 
-        assert self.net_activation == 'relu', 'pallas backend is ReLU-only'
-        assert self.num_rgb_channels == 3, 'lean mode packs rgb as 3 channels'
+        # Raises (not asserts): these preconditions must survive `python -O`
+        # or the kernels silently compute garbage.
+        if self.net_activation != 'relu':
+            raise ValueError('pallas backends are ReLU-only, got '
+                             f'{self.net_activation!r}')
+        if self.num_rgb_channels != 3:
+            raise ValueError('lean mode packs rgb as 3 channels, got '
+                             f'{self.num_rgb_channels}')
         num_samples = x.shape[-2]
         xyz_dim = x.shape[-1]
         flat = self._declare_flat_params(xyz_dim, view_direction.shape[-1])
@@ -222,7 +228,9 @@ class MLP(nn.Module):
         """Fused-megakernel evaluation (kernels/mlp.py)."""
         from mipnerf_pl_tpu.kernels.mlp import fused_mlp
 
-        assert self.net_activation == 'relu', 'pallas backend is ReLU-only'
+        if self.net_activation != 'relu':
+            raise ValueError('pallas backends are ReLU-only, got '
+                             f'{self.net_activation!r}')
         num_samples = x.shape[-2]
         xyz_dim = x.shape[-1]
         flat = self._declare_flat_params(xyz_dim, view_direction.shape[-1])

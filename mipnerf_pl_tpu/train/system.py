@@ -63,11 +63,24 @@ class SimpleProfiler:
 
 def profiler_supported() -> bool:
     """jax.profiler works on the standard cpu/gpu/tpu backends; on tunneled
-    plugin platforms (e.g. the 'axon' relay in this environment)
-    start_trace hangs, so profiling is skipped unless forced with
-    MIPNERF_FORCE_PROFILE=1 (SURVEY.md §5 tracing row)."""
+    relay platforms (the 'axon' plugin in this environment) start_trace has
+    been observed to hang, so profiling is skipped unless forced with
+    MIPNERF_FORCE_PROFILE=1 (SURVEY.md §5 tracing row).
+
+    The relay is NOT detectable from jax.default_backend() — it registers
+    as a regular 'tpu' platform (verified: default_backend() == 'tpu',
+    device_kind 'TPU v5 lite') — so detect it from the PJRT
+    platform_version string and the JAX_PLATFORMS selector instead."""
     if os.environ.get('MIPNERF_FORCE_PROFILE'):
         return True
+    if 'axon' in os.environ.get('JAX_PLATFORMS', ''):
+        return False
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        version = ''
+    if 'axon' in version:
+        return False
     return jax.default_backend() in ('cpu', 'gpu', 'tpu')
 
 

@@ -67,6 +67,17 @@ def test_default_schema_carries_multi_host_keys():
     assert str(hp['parallel.coordinator_address']) == 'None'
 
 
+def test_profiler_guard_detects_axon_relay(monkeypatch):
+    """The tunneled relay registers as a plain 'tpu' backend, so the guard
+    must detect it from JAX_PLATFORMS / the PJRT platform_version string —
+    jax.default_backend() alone cannot distinguish it (it returns 'tpu')."""
+    from mipnerf_pl_tpu.train.system import profiler_supported
+    monkeypatch.setenv('JAX_PLATFORMS', 'axon')
+    assert not profiler_supported()
+    monkeypatch.setenv('MIPNERF_FORCE_PROFILE', '1')
+    assert profiler_supported()   # the escape hatch still wins
+
+
 def test_profile_flag_writes_trace(tmp_path):
     from mipnerf_pl_tpu.train.system import MipNeRFSystem, profiler_supported
     assert profiler_supported()   # tests run on the CPU backend
