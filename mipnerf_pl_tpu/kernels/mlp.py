@@ -677,11 +677,12 @@ def _fwd_kernel_lean(x_ref, view_ref, *refs, cfg):
     out_ref[:] = jnp.concatenate([rgb, density], axis=-1)
 
 
-def _lean_param_grads(x, vr, g_packed, hs, ys, bottleneck, params,
+def _lean_param_grads(x, vr, g_rgb, g_dens, hs, ys, bottleneck, params,
                       dparam_refs, cfg):
     """Shared backward core: accumulate parameter grads into `dparam_refs`
     from saved-or-recomputed activations.  `x`/`hs`/`ys`/`bottleneck` are
-    compute-dtype [T, *] tiles, `vr` the raw per-ray view tile."""
+    compute-dtype [T, *] tiles, `vr` the raw per-ray view tile, `g_rgb` /
+    `g_dens` the head cotangent tiles."""
     net_depth = cfg['net_depth']
     skip = cfg['skip_index']
     nvd = cfg['net_depth_condition']
@@ -690,8 +691,6 @@ def _lean_param_grads(x, vr, g_packed, hs, ys, bottleneck, params,
     dtype = cfg['dtype']
     f32 = jnp.float32
 
-    g_rgb = g_packed[:, :3]
-    g_dens = g_packed[:, 3:]
     first = pl.program_id(0) == 0
 
     def zero_init(r):
@@ -776,7 +775,7 @@ def _lean_param_grads(x, vr, g_packed, hs, ys, bottleneck, params,
         g_trunk = d_dense(i, parts_i, g_trunk, need_i)[0]
 
 
-def _bwd_kernel_lean(x_ref, view_ref, g_ref, *refs, cfg):
+def _bwd_kernel_lean(x_ref, view_ref, g_rgb_ref, g_dens_ref, *refs, cfg):
     """Recompute backward: re-run the forward per tile in VMEM, then the
     shared gradient core.  Zero HBM activation traffic, +1 fwd of MXU."""
     n_params = cfg['n_params']
@@ -785,8 +784,8 @@ def _bwd_kernel_lean(x_ref, view_ref, g_ref, *refs, cfg):
     x = x_ref[:].astype(cfg['dtype'])
     vr = view_ref[:]
     _, _, hs, ys, bottleneck = _fwd_body_lean(x, vr, params, cfg)
-    _lean_param_grads(x, vr, g_ref[:], hs, ys, bottleneck, params,
-                      dparam_refs, cfg)
+    _lean_param_grads(x, vr, g_rgb_ref[:], g_dens_ref[:], hs, ys,
+                      bottleneck, params, dparam_refs, cfg)
 
 
 def _fwd_kernel_lean_save(x_ref, view_ref, *refs, cfg):
@@ -806,7 +805,8 @@ def _fwd_kernel_lean_save(x_ref, view_ref, *refs, cfg):
     saved_ref[:] = jnp.concatenate(hs + [bottleneck] + ys, axis=-1)
 
 
-def _bwd_kernel_lean_save(x_ref, view_ref, g_ref, saved_ref, *refs, cfg):
+def _bwd_kernel_lean_save(x_ref, view_ref, g_rgb_ref, g_dens_ref, saved_ref,
+                          *refs, cfg):
     """Zero-recompute backward: activations stream in from the forward's
     packed saved output; only the gradient core's MXU work remains."""
     net_depth = cfg['net_depth']
@@ -823,8 +823,8 @@ def _bwd_kernel_lean_save(x_ref, view_ref, g_ref, saved_ref, *refs, cfg):
     bottleneck = parts[net_depth]
     ys = parts[net_depth + 1:]
     x = x_ref[:].astype(cfg['dtype'])
-    _lean_param_grads(x, view_ref[:], g_ref[:], hs, ys, bottleneck, params,
-                      dparam_refs, cfg)
+    _lean_param_grads(x, view_ref[:], g_rgb_ref[:], g_dens_ref[:], hs, ys,
+                      bottleneck, params, dparam_refs, cfg)
 
 
 def _fwd_body_lean_xla(x, view_ray, params, cfg):
@@ -881,7 +881,8 @@ def _fwd_body_lean_xla(x, view_ray, params, cfg):
     return rgb, density, hs, ys, bottleneck
 
 
-def _bwd_kernel_lean_hybrid(x_ref, view_ref, g_ref, *refs, cfg):
+def _bwd_kernel_lean_hybrid(x_ref, view_ref, g_rgb_ref, g_dens_ref, *refs,
+                            cfg):
     """Zero-recompute backward for 'hybrid' mode: the saved activations
     arrive as SEPARATE per-tile streams (they are XLA residuals, never
     packed — packing them would cost an HBM round trip)."""
@@ -895,25 +896,30 @@ def _bwd_kernel_lean_hybrid(x_ref, view_ref, g_ref, *refs, cfg):
     bottleneck = saved[net_depth]
     ys = saved[net_depth + 1:]
     x = x_ref[:].astype(cfg['dtype'])
-    _lean_param_grads(x, view_ref[:], g_ref[:], hs, ys, bottleneck, params,
-                      dparam_refs, cfg)
+    _lean_param_grads(x, view_ref[:], g_rgb_ref[:], g_dens_ref[:], hs, ys,
+                      bottleneck, params, dparam_refs, cfg)
 
 
-def _run_bwd_lean_common(x, view, g_packed, extra, kernel_body, T, cfg,
+def _run_bwd_lean_common(x, view, g_rgb, g_dens, extra, kernel_body, T, cfg,
                          flat_params, interpret):
     """Shared skeleton of the lean backward family: zero-pad the row streams
-    to a multiple of the row tile T, stream (x, view, g_packed, *extra) per
-    tile, and accumulate full-VMEM parameter-gradient outputs across the
-    grid.  `extra` holds the saved-activation streams (none for recompute
-    mode, one packed array for save mode, per-tensor XLA residuals for
-    hybrid mode); streams already padded to the right row count pass
-    through, anything else is re-padded (an HBM copy — off the fast path)."""
+    to a multiple of the row tile T, stream (x, view, g_rgb, g_dens, *extra)
+    per tile, and accumulate full-VMEM parameter-gradient outputs across the
+    grid.  The head cotangents stream in SEPARATELY (not packed [T, 3+nd]):
+    packing them would force XLA to materialize a fresh [M, 3+nd] array
+    (profiled at ~0.9 ms/level of pad+add fusion at the lego shape) just for
+    the kernel to unpack it again.  `extra` holds the saved-activation
+    streams (none for recompute mode, one packed array for save mode,
+    per-tensor XLA residuals for hybrid mode); streams already padded to the
+    right row count pass through, anything else is re-padded (an HBM copy —
+    off the fast path)."""
     N = cfg['num_samples']
     M = x.shape[0]
     Mp = ((M + T - 1) // T) * T
     x = _pad_rows(x, Mp)
     view = _pad_rows(view, Mp // N)
-    g_packed = _pad_rows(g_packed, Mp)
+    g_rgb = _pad_rows(g_rgb, Mp)
+    g_dens = _pad_rows(g_dens, Mp)
     extra = [s if s.shape[0] == Mp else _pad_rows(s[:M], Mp) for s in extra]
     kernel = functools.partial(kernel_body, cfg=cfg)
     dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
@@ -928,19 +934,20 @@ def _run_bwd_lean_common(x, view, g_packed, extra, kernel_body, T, cfg,
         grid=(Mp // T,),
         in_specs=([_tile_spec_t(x.shape[1], T),
                    _tile_spec_t(view.shape[1], T // N),
-                   _tile_spec_t(g_packed.shape[1], T)]
+                   _tile_spec_t(g_rgb.shape[1], T),
+                   _tile_spec_t(g_dens.shape[1], T)]
                   + [_tile_spec_t(s.shape[1], T) for s in extra]
                   + [_full_spec() for _ in flat_params]),
         out_specs=tuple(dparam_specs),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
-    )(x, view, g_packed, *extra, *flat_params)
+    )(x, view, g_rgb, g_dens, *extra, *flat_params)
 
 
-def _run_bwd_lean_hybrid(x, view, g_packed, saved, flat_params, cfg,
+def _run_bwd_lean_hybrid(x, view, g_rgb, g_dens, saved, flat_params, cfg,
                          interpret):
     return _run_bwd_lean_common(
-        x, view, g_packed, list(saved), _bwd_kernel_lean_hybrid,
+        x, view, g_rgb, g_dens, list(saved), _bwd_kernel_lean_hybrid,
         _lean_tile(_ROW_TILE_LEAN_SAVE, cfg['num_samples']), cfg,
         flat_params, interpret)
 
@@ -984,10 +991,10 @@ def _run_fwd_lean_save(x, view, flat_params, cfg, interpret):
     return out[:M], saved   # saved stays row-padded
 
 
-def _run_bwd_lean_save(x, view, g_packed, saved, flat_params, cfg,
+def _run_bwd_lean_save(x, view, g_rgb, g_dens, saved, flat_params, cfg,
                        interpret):
     return _run_bwd_lean_common(
-        x, view, g_packed, [saved], _bwd_kernel_lean_save,
+        x, view, g_rgb, g_dens, [saved], _bwd_kernel_lean_save,
         _lean_tile(_ROW_TILE_LEAN_SAVE, cfg['num_samples']), cfg,
         flat_params, interpret)
 
@@ -1017,9 +1024,9 @@ def _run_fwd_lean(x, view, flat_params, cfg, interpret):
     return out[:M]
 
 
-def _run_bwd_lean(x, view, g_packed, flat_params, cfg, interpret):
+def _run_bwd_lean(x, view, g_rgb, g_dens, flat_params, cfg, interpret):
     return _run_bwd_lean_common(
-        x, view, g_packed, [], _bwd_kernel_lean,
+        x, view, g_rgb, g_dens, [], _bwd_kernel_lean,
         _lean_tile(_ROW_TILE_BWD, cfg['num_samples']), cfg,
         flat_params, interpret)
 
@@ -1039,7 +1046,15 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
                    compute_dtype=jnp.bfloat16, interpret=None,
                    mode: str = 'recompute'):
     """Lean megakernel: (x [M, F] compute dtype, view [M/num_samples, Fv],
-    params) -> packed [M, 3 + nd] f32 (rgb channels then density).
+    params) -> (rgb [M, 3], density [M, nd]) f32.
+
+    The underlying pallas_call writes ONE packed [M, 3 + nd] output (a
+    single lane-padded row stream); the rgb/density slices returned here
+    fuse into their consumers.  Returning them as separate primal outputs
+    matters for the BACKWARD: the cotangents then arrive unpacked and
+    stream straight into the backward kernel, instead of XLA materializing
+    a packed [M, 3 + nd] cotangent (profiled at ~0.9 ms/level of pad+add
+    fusion at the lego shape) just for the kernel to unpack.
 
     Numerically equivalent to models/mlp.py:MLP with use_viewdirs (the rgb
     head assumes num_rgb_channels == 3).  NON-DIFFERENTIABLE in x/view
@@ -1069,8 +1084,9 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
     if mode == 'hybrid':
         rgb, density, _, _, _ = _fwd_body_lean_xla(
             x.astype(compute_dtype), view, wparams, cfg)
-        return jnp.concatenate([rgb, density], axis=-1)
-    return _run_fwd_lean(x, view, wparams, cfg, interpret)
+        return rgb, density
+    out = _run_fwd_lean(x, view, wparams, cfg, interpret)
+    return out[:, :3], out[:, 3:]
 
 
 def _fused_mlp_lean_fwd(x, view, flat_params, num_samples, net_depth,
@@ -1082,31 +1098,31 @@ def _fused_mlp_lean_fwd(x, view, flat_params, num_samples, net_depth,
     if mode == 'hybrid':
         rgb, density, hs, ys, bottleneck = _fwd_body_lean_xla(
             x.astype(compute_dtype), view, wparams, cfg)
-        out = jnp.concatenate([rgb, density], axis=-1)
-        return out, (x, view, flat_params,
-                     tuple(hs) + (bottleneck,) + tuple(ys))
+        return (rgb, density), (x, view, flat_params,
+                                tuple(hs) + (bottleneck,) + tuple(ys))
     if mode == 'save':
         out, saved = _run_fwd_lean_save(x, view, wparams, cfg, interpret)
-        return out, (x, view, flat_params, saved)
+        return (out[:, :3], out[:, 3:]), (x, view, flat_params, saved)
     out = _run_fwd_lean(x, view, wparams, cfg, interpret)
-    return out, (x, view, flat_params, None)
+    return (out[:, :3], out[:, 3:]), (x, view, flat_params, None)
 
 
 def _fused_mlp_lean_bwd(num_samples, net_depth, net_depth_condition,
-                        skip_index, compute_dtype, interpret, mode, res,
-                        g_packed):
+                        skip_index, compute_dtype, interpret, mode, res, g):
+    g_rgb, g_dens = g
     x, view, flat_params, saved = res
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
                     compute_dtype, num_samples)
     wparams = [p.astype(compute_dtype) for p in flat_params]
     if mode == 'hybrid':
-        outs = _run_bwd_lean_hybrid(x.astype(compute_dtype), view, g_packed,
-                                    list(saved), wparams, cfg, interpret)
+        outs = _run_bwd_lean_hybrid(x.astype(compute_dtype), view, g_rgb,
+                                    g_dens, list(saved), wparams, cfg,
+                                    interpret)
     elif mode == 'save':
-        outs = _run_bwd_lean_save(x, view, g_packed, saved, wparams, cfg,
-                                  interpret)
+        outs = _run_bwd_lean_save(x, view, g_rgb, g_dens, saved, wparams,
+                                  cfg, interpret)
     else:
-        outs = _run_bwd_lean(x, view, g_packed, wparams, cfg, interpret)
+        outs = _run_bwd_lean(x, view, g_rgb, g_dens, wparams, cfg, interpret)
     dparams = [d.reshape(p.shape).astype(p.dtype)
                for d, p in zip(outs, flat_params)]
     return (jnp.zeros_like(x), jnp.zeros_like(view), tuple(dparams))

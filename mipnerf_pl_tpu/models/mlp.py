@@ -215,12 +215,10 @@ class MLP(nn.Module):
         view2 = view_direction.reshape(-1, view_direction.shape[-1])
         mode = {'pallas_lean_save': 'save',
                 'pallas_hybrid': 'hybrid'}.get(self.backend, 'recompute')
-        packed = fused_mlp_lean(x2, view2, tuple(flat), num_samples,
-                                self.net_depth, self.net_depth_condition,
-                                self.skip_index, self.compute_dtype, None,
-                                mode)
-        rgb = packed[:, :self.num_rgb_channels]
-        dens = packed[:, self.num_rgb_channels:]
+        rgb, dens = fused_mlp_lean(x2, view2, tuple(flat), num_samples,
+                                   self.net_depth, self.net_depth_condition,
+                                   self.skip_index, self.compute_dtype,
+                                   None, mode)
         return (rgb.reshape(*lead, self.num_rgb_channels),
                 dens.reshape(*lead, self.num_density_channels))
 

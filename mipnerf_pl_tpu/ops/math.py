@@ -150,17 +150,30 @@ def expected_sin_var(x, x_var):
 
 def ipe_scaled_moments(means_covs, min_deg: int, max_deg: int):
     """Scale-ladder moments of the diagonal IPE: (y, y_var) [..., N, D*L],
-    laid out scale-major dim-minor (reference models/mip.py:336-341).  A
-    single fused broadcast-multiply in XLA, consumed by
-    `integrated_pos_enc` (expected_sin runs in XLA, where its sin/cos
-    lowering is ~5x faster than Mosaic's — measured, DESIGN.md)."""
+    laid out scale-major dim-minor (reference models/mip.py:336-341),
+    consumed by `integrated_pos_enc` (expected_sin runs in XLA, where its
+    sin/cos lowering is faster than Mosaic's — measured, DESIGN.md §6).
+
+    TPU note: computed as a one-hot-scaled matmul `means @ S` with
+    S[d, k*D + d] = 2^(min_deg+k) rather than the reference's
+    broadcast-along-a-new-scale-axis + reshape.  The broadcast form makes
+    XLA materialize scale-major [L, D, ...] intermediates whose layout
+    disagrees with the row-major [rows, L*D] the downstream sin fusion and
+    MLP input stream want — profiled at ~2 ms/step of pure layout-copy
+    traffic at the lego shape (xplane trace, tools/xplane_summary.py).  The
+    matmul emits [rows, L*D] in {1,0} layout natively; each output element
+    is a single product (one-hot rows, Precision.HIGHEST), so the values
+    are bit-identical to the broadcast form."""
     means, covs_diag = means_covs
-    scales = jnp.asarray([2.0 ** i for i in range(min_deg, max_deg)],
-                         dtype=means.dtype)                    # [L]
-    y = means[..., None, :] * scales[:, None]
-    y = y.reshape(*y.shape[:-2], -1)
-    y_var = covs_diag[..., None, :] * (scales[:, None] ** 2)
-    y_var = y_var.reshape(*y_var.shape[:-2], -1)
+    num_dims = means.shape[-1]
+    num_scales = max_deg - min_deg
+    scales = np.asarray([2.0 ** i for i in range(min_deg, max_deg)])
+    sel = np.tile(np.eye(num_dims), (1, num_scales))            # [D, L*D]
+    s = jnp.asarray(sel * np.repeat(scales, num_dims)[None, :],
+                    dtype=means.dtype)
+    y = jnp.matmul(means, s, precision=jax.lax.Precision.HIGHEST)
+    y_var = jnp.matmul(covs_diag, s * s,
+                       precision=jax.lax.Precision.HIGHEST)
     return y, y_var
 
 

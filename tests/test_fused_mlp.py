@@ -214,9 +214,11 @@ def test_fused_mlp_lean_matches_flax():
                                     view_ray)   # flax broadcasts per ray
 
     def loss_lean(flat):
-        packed = fused_mlp_lean(x3.reshape(-1, xdim), view_ray, flat, N,
-                                CFG['net_depth'], CFG['net_depth_condition'],
-                                CFG['skip_index'], jnp.float32, True)
+        rgb, dens = fused_mlp_lean(x3.reshape(-1, xdim), view_ray, flat, N,
+                                   CFG['net_depth'],
+                                   CFG['net_depth_condition'],
+                                   CFG['skip_index'], jnp.float32, True)
+        packed = jnp.concatenate([rgb, dens], axis=-1)
         return jnp.sum(packed ** 2), packed
 
     (_, packed), g_lean = jax.value_and_grad(
@@ -251,10 +253,11 @@ def test_fused_mlp_lean_padding_does_not_corrupt():
     view_ray = view[: x3.shape[0]]
 
     def loss(flat):
-        packed = fused_mlp_lean(x3.reshape(-1, xdim), view_ray, flat, N,
-                                CFG['net_depth'], CFG['net_depth_condition'],
-                                CFG['skip_index'], jnp.float32, True)
-        return jnp.sum(packed ** 2)
+        rgb, dens = fused_mlp_lean(x3.reshape(-1, xdim), view_ray, flat, N,
+                                   CFG['net_depth'],
+                                   CFG['net_depth_condition'],
+                                   CFG['skip_index'], jnp.float32, True)
+        return jnp.sum(rgb ** 2) + jnp.sum(dens ** 2)
 
     def loss_flax(p):
         rgb, dens = mlp.apply(p, x3, view_ray)
@@ -311,9 +314,11 @@ def test_fused_mlp_lean_save_matches_recompute():
     view_ray = view[: x2.shape[0] // N]
 
     def loss(flat, mode):
-        packed = fused_mlp_lean(x3, view_ray, flat, N, CFG['net_depth'],
-                                CFG['net_depth_condition'],
-                                CFG['skip_index'], jnp.float32, True, mode)
+        rgb, dens = fused_mlp_lean(x3, view_ray, flat, N, CFG['net_depth'],
+                                   CFG['net_depth_condition'],
+                                   CFG['skip_index'], jnp.float32, True,
+                                   mode)
+        packed = jnp.concatenate([rgb, dens], axis=-1)
         return jnp.sum(packed ** 2), packed
 
     (l_r, p_r), g_r = jax.value_and_grad(
@@ -346,9 +351,11 @@ def test_lean_save_mismatched_fwd_bwd_tiles(monkeypatch):
     view_ray = view[: x2.shape[0] // N]
 
     def loss(flat, mode):
-        packed = fused_mlp_lean(x3, view_ray, flat, N, CFG['net_depth'],
-                                CFG['net_depth_condition'],
-                                CFG['skip_index'], jnp.float32, True, mode)
+        rgb, dens = fused_mlp_lean(x3, view_ray, flat, N, CFG['net_depth'],
+                                   CFG['net_depth_condition'],
+                                   CFG['skip_index'], jnp.float32, True,
+                                   mode)
+        packed = jnp.concatenate([rgb, dens], axis=-1)
         return jnp.sum(packed ** 2), packed
 
     (l_r, p_r), g_r = jax.value_and_grad(
@@ -430,11 +437,12 @@ def test_fused_mlp_hybrid_grads_match_flax():
     view_ray = view[: x3.shape[0]]
 
     def loss(flat):
-        packed = fused_mlp_lean(x3.reshape(-1, xdim), view_ray, flat, N,
-                                CFG['net_depth'], CFG['net_depth_condition'],
-                                CFG['skip_index'], jnp.float32, True,
-                                'hybrid')
-        return jnp.sum(packed ** 2)
+        rgb, dens = fused_mlp_lean(x3.reshape(-1, xdim), view_ray, flat, N,
+                                   CFG['net_depth'],
+                                   CFG['net_depth_condition'],
+                                   CFG['skip_index'], jnp.float32, True,
+                                   'hybrid')
+        return jnp.sum(rgb ** 2) + jnp.sum(dens ** 2)
 
     def loss_flax(p):
         rgb, dens = mlp.apply(p, x3, view_ray)
