@@ -188,10 +188,44 @@ def integrated_pos_enc(means_covs, min_deg: int, max_deg: int,
     TPU note: the (2^k) ladder is a trace-time constant; the encode is a
     broadcast-multiply + transcendental, which XLA fuses into the surrounding
     elementwise graph (and ultimately into the first MLP matmul's producer).
+
+    The diagonal path runs entirely on FLATTENED 2-D rows: with the native
+    [..., N, D] shapes XLA picks a {1,2,0} layout for the [B, N, L*D]
+    intermediates and then inserts {1,2,0}->{2,1,0} relayout copies before
+    the row-major reshape the MLP input stream wants (~1.5 ms/step of pure
+    copies at the lego shape; xplane trace, tools/xplane_summary.py).  In
+    2-D every tensor is {1,0} and the reshapes at the boundary are
+    bitcasts.  The sin/cos DOUBLING also happens inside the one-hot moments
+    matmul (S2 = [S | S], plus a constant [0.. pi/2..] phase row added in
+    the sin's producer): the whole encode is then ONE full-width
+    [M, 2*L*D] elementwise fusion with no concatenate and no half-width
+    [M, L*D] lane-wasting ops.  (Measured: computing exp(-0.5 var) once on
+    the [M, L*D] half and concatenating two half-width sin blocks is 2x
+    SLOWER than duplicating the exp at full width — [.., 48]-wide VPU ops
+    use 48 of 128 lanes.)  Values are bit-identical to the reference
+    ordering: each matmul output element is a single product, and the
+    sin(y + pi/2) == cos(y) trick is the reference's own.
     """
     if diagonal:
-        # [..., N, 1, D] * [L, 1] -> [..., N, L, D] -> [..., N, L*D]
-        y, y_var = ipe_scaled_moments(means_covs, min_deg, max_deg)
+        means, covs_diag = means_covs
+        lead = means.shape[:-1]
+        num_dims = means.shape[-1]
+        L = max_deg - min_deg
+        scales = np.asarray([2.0 ** i for i in range(min_deg, max_deg)])
+        sel = np.tile(np.eye(num_dims), (1, L))                 # [D, L*D]
+        s = sel * np.repeat(scales, num_dims)[None, :]
+        s2 = np.concatenate([s, s], axis=1)                     # [D, 2*L*D]
+        s2 = jnp.asarray(s2, dtype=means.dtype)
+        phase = jnp.asarray(
+            np.concatenate([np.zeros(L * num_dims),
+                            np.full(L * num_dims, 0.5 * np.pi)]),
+            dtype=means.dtype)                                  # [2*L*D]
+        hi = jax.lax.Precision.HIGHEST
+        y2 = jnp.matmul(means.reshape(-1, num_dims), s2, precision=hi)
+        yv2 = jnp.matmul(covs_diag.reshape(-1, num_dims), s2 * s2,
+                         precision=hi)
+        enc = jnp.exp(-0.5 * yv2) * jnp.sin(y2 + phase)
+        return enc.reshape(*lead, enc.shape[-1])
     else:
         means, x_cov = means_covs
         num_dims = means.shape[-1]
@@ -206,10 +240,9 @@ def integrated_pos_enc(means_covs, min_deg: int, max_deg: int,
             jnp.matmul(x_cov, basis, precision=jax.lax.Precision.HIGHEST)
             * basis, axis=-2)
     # sin(y) block then cos(y) block: sin(y + pi/2) == cos(y).
-    return expected_sin(
-        jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
-        jnp.concatenate([y_var] * 2, axis=-1),
-    )
+    scale = jnp.exp(-0.5 * y_var)
+    return jnp.concatenate([scale * jnp.sin(y),
+                            scale * jnp.sin(y + 0.5 * jnp.pi)], axis=-1)
 
 
 def pos_enc(x, min_deg: int, max_deg: int, append_identity: bool = True):
@@ -312,7 +345,6 @@ def integrated_pos_enc_360(means_covs):
     hi = jax.lax.Precision.HIGHEST
     y = jnp.matmul(means, P, precision=hi)               # [..., N, 21]
     y_var = jnp.sum(jnp.matmul(x_cov, P, precision=hi) * P, axis=-2)
-    return expected_sin(
-        jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
-        jnp.concatenate([y_var] * 2, axis=-1),
-    )
+    scale = jnp.exp(-0.5 * y_var)
+    return jnp.concatenate([scale * jnp.sin(y),
+                            scale * jnp.sin(y + 0.5 * jnp.pi)], axis=-1)
