@@ -626,6 +626,20 @@ fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _lean_apply_act(raw_rgb, raw_density, act):
+    """In-kernel head activations (f32): sigmoid rgb widened by
+    `rgb_padding`, softplus(raw + density_bias) density — the model's
+    default epilogue (models/mipnerf.py:221-223, reference
+    models/mip_nerf.py rgb_activation/density_activation).  Running them
+    inside the megakernel removes ~1.8 ms/step of XLA launch+layout
+    overhead on the narrow [M, 3]/[M, 1] tensors (the VPU cost in an
+    MXU-bound kernel is fully overlapped)."""
+    pad, bias = act
+    rgb = jax.nn.sigmoid(raw_rgb) * (1.0 + 2.0 * pad) - pad
+    density = jax.nn.softplus(raw_density + bias)
+    return rgb, density
+
+
 def _fwd_body_lean(x, view_ray, params, cfg):
     """x [T, F] compute dtype, view_ray [R, Fv] (T = R * num_samples)."""
     net_depth = cfg['net_depth']
@@ -665,6 +679,8 @@ def _fwd_body_lean(x, view_ray, params, cfg):
         y = jnp.maximum(dense(y, net_depth + 2 + j), 0.0).astype(dtype)
         ys.append(y)
     rgb = dense(y, net_depth + 2 + nvd)
+    if cfg.get('act') is not None:
+        rgb, density = _lean_apply_act(rgb, density, cfg['act'])
     return rgb, density, hs, ys, bottleneck
 
 
@@ -690,6 +706,26 @@ def _lean_param_grads(x, vr, g_rgb, g_dens, hs, ys, bottleneck, params,
     N = cfg['num_samples']
     dtype = cfg['dtype']
     f32 = jnp.float32
+
+    if cfg.get('act') is not None:
+        # Fold the head-activation derivatives into the cotangents.  The
+        # raw head outputs are recomputed here from the saved/recomputed
+        # activations (two tiny [T, W]x[W, 3|1] matmuls) instead of being
+        # streamed — d sigmoid = s(1-s), d softplus(z+b) = sigmoid(z+b).
+        pad, bias = cfg['act']
+        i_rgb = 2 * (cfg['net_depth'] + 2 + nvd)
+        raw_rgb = jnp.dot(ys[-1], params[i_rgb],
+                          preferred_element_type=f32) \
+            + params[i_rgb + 1].astype(f32)
+        sig = jax.nn.sigmoid(raw_rgb)
+        g_rgb = g_rgb * ((1.0 + 2.0 * pad) * sig * (1.0 - sig))
+        h_last = hs[-1]
+        if (net_depth - 1) % skip == 0 and net_depth - 1 > 0:
+            h_last = jnp.concatenate([h_last, x], axis=-1)
+        raw_d = jnp.dot(h_last, params[2 * net_depth],
+                        preferred_element_type=f32) \
+            + params[2 * net_depth + 1].astype(f32)
+        g_dens = g_dens * jax.nn.sigmoid(raw_d + bias)
 
     first = pl.program_id(0) == 0
 
@@ -878,6 +914,8 @@ def _fwd_body_lean_xla(x, view_ray, params, cfg):
             .astype(dtype)
         ys.append(y)
     rgb = dense_parts(net_depth + 2 + nvd, [y]).astype(f32)
+    if cfg.get('act') is not None:
+        rgb, density = _lean_apply_act(rgb, density, cfg['act'])
     return rgb, density, hs, ys, bottleneck
 
 
@@ -1032,19 +1070,20 @@ def _run_bwd_lean(x, view, g_rgb, g_dens, flat_params, cfg, interpret):
 
 
 def _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-              compute_dtype, num_samples):
+              compute_dtype, num_samples, act=None):
     cfg = _cfg(net_depth, net_depth_condition, skip_index,
                flat_params[0].shape[1], len(flat_params), compute_dtype)
     cfg['num_samples'] = num_samples
     cfg['saved_widths'] = _lean_saved_widths(cfg, flat_params)
+    cfg['act'] = act
     return cfg
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
                    net_depth_condition: int, skip_index: int,
                    compute_dtype=jnp.bfloat16, interpret=None,
-                   mode: str = 'recompute'):
+                   mode: str = 'recompute', act=None):
     """Lean megakernel: (x [M, F] compute dtype, view [M/num_samples, Fv],
     params) -> (rgb [M, 3], density [M, nd]) f32.
 
@@ -1079,7 +1118,7 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
                          '(the view branch); use the "xla" backend for '
                          'net_depth_condition == 0')
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples)
+                    compute_dtype, num_samples, act)
     wparams = [p.astype(compute_dtype) for p in flat_params]
     if mode == 'hybrid':
         rgb, density, _, _, _ = _fwd_body_lean_xla(
@@ -1091,9 +1130,9 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
 
 def _fused_mlp_lean_fwd(x, view, flat_params, num_samples, net_depth,
                         net_depth_condition, skip_index, compute_dtype,
-                        interpret, mode):
+                        interpret, mode, act):
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples)
+                    compute_dtype, num_samples, act)
     wparams = [p.astype(compute_dtype) for p in flat_params]
     if mode == 'hybrid':
         rgb, density, hs, ys, bottleneck = _fwd_body_lean_xla(
@@ -1108,11 +1147,12 @@ def _fused_mlp_lean_fwd(x, view, flat_params, num_samples, net_depth,
 
 
 def _fused_mlp_lean_bwd(num_samples, net_depth, net_depth_condition,
-                        skip_index, compute_dtype, interpret, mode, res, g):
+                        skip_index, compute_dtype, interpret, mode, act,
+                        res, g):
     g_rgb, g_dens = g
     x, view, flat_params, saved = res
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples)
+                    compute_dtype, num_samples, act)
     wparams = [p.astype(compute_dtype) for p in flat_params]
     if mode == 'hybrid':
         outs = _run_bwd_lean_hybrid(x.astype(compute_dtype), view, g_rgb,

@@ -123,8 +123,24 @@ class MipNerf(nn.Module):
                 f'nerf.stop_resample_grad=True (its backward produces '
                 f'parameter gradients only); use the "xla" or "pallas" '
                 f'backend to train with resample gradients enabled')
+        # Fuse the default head epilogue (sigmoid rgb + rgb_padding,
+        # softplus(raw + density_bias)) into the lean megakernel: the
+        # narrow [M, 3]/[M, 1] activations cost ~1.8 ms/step of XLA
+        # launch+layout overhead outside the kernel, and are free VPU work
+        # inside it.  density_noise > 0 adds noise BETWEEN the raw head and
+        # the activation, so fusion is only valid without it.
+        self._fused_act = (
+            self.mlp_backend in ('pallas_lean', 'pallas_lean_save',
+                                 'pallas_hybrid')
+            and self.use_viewdirs   # lean path engages only with viewdirs
+            and self.rgb_activation == 'sigmoid'
+            and self.density_activation == 'softplus'
+            and self.density_noise == 0.0)
         mlp_cls = nn.remat(MLP) if self.remat == 'mlp' else MLP
         self.mlp = mlp_cls(
+            fused_activation=((float(self.rgb_padding),
+                               float(self.density_bias))
+                              if self._fused_act else None),
             net_depth=self.mlp_net_depth,
             net_width=self.mlp_net_width,
             net_depth_condition=self.mlp_net_depth_condition,
@@ -214,13 +230,20 @@ class MipNerf(nn.Module):
             else:
                 raw_rgb, raw_density = self.mlp(samples_enc)
 
-            if randomized and self.density_noise > 0:
-                raw_density = raw_density + self.density_noise * jax.random.normal(
-                    k_noise, raw_density.shape, dtype=raw_density.dtype)
-
-            rgb = self._rgb_act(raw_rgb)
-            rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
-            density = self._density_act(raw_density + self.density_bias)
+            if self._fused_act:
+                # The lean kernel already applied the sigmoid/softplus
+                # epilogue (kernels/mlp.py:_lean_apply_act); density_noise
+                # is structurally 0 here (checked in setup).
+                rgb, density = raw_rgb, raw_density
+            else:
+                if randomized and self.density_noise > 0:
+                    raw_density = (raw_density + self.density_noise
+                                   * jax.random.normal(
+                                       k_noise, raw_density.shape,
+                                       dtype=raw_density.dtype))
+                rgb = self._rgb_act(raw_rgb)
+                rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
+                density = self._density_act(raw_density + self.density_bias)
             # In unbounded mode t_samples carries t_inv; composite over the
             # ascending world-space distances.
             t_render = 1.0 / t_samples if self.unbounded else t_samples

@@ -62,6 +62,11 @@ class MLP(nn.Module):
     net_activation: str = 'relu'
     compute_dtype: Any = jnp.float32
     backend: str = 'xla'
+    # (rgb_padding, density_bias) to fuse the model's sigmoid/softplus head
+    # epilogue into the lean megakernel (set by MipNerf when the head
+    # activations are the defaults and density_noise == 0); None = return
+    # raw heads.  Only honored by the lean backends.
+    fused_activation: Optional[tuple] = None
 
     def _act(self, x):
         if self.net_activation == 'relu':
@@ -218,7 +223,7 @@ class MLP(nn.Module):
         rgb, dens = fused_mlp_lean(x2, view2, tuple(flat), num_samples,
                                    self.net_depth, self.net_depth_condition,
                                    self.skip_index, self.compute_dtype,
-                                   None, mode)
+                                   None, mode, self.fused_activation)
         return (rgb.reshape(*lead, self.num_rgb_channels),
                 dens.reshape(*lead, self.num_density_channels))
 

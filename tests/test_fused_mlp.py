@@ -454,3 +454,46 @@ def test_fused_mlp_hybrid_grads_match_flax():
     for got, want in zip(g_h, g_flax):
         np.testing.assert_allclose(np.asarray(got).reshape(want.shape),
                                    np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_lean_activation_epilogue():
+    """act=(rgb_padding, density_bias) must match applying the model's
+    sigmoid/softplus epilogue to the raw lean outputs — forward and
+    parameter grads (kernels/mlp.py:_lean_apply_act)."""
+    from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
+
+    N = 8
+    pad, bias = 0.001, -1.0
+    mlp, params, flat, x, view, x2, view2 = _setup(M=96, cfg=CFG)
+    xdim = x2.shape[1]
+    x3 = x2.reshape(-1, N, xdim).reshape(-1, xdim)
+    view_ray = view[: x2.shape[0] // N]
+
+    for mode in ('recompute', 'save', 'hybrid'):
+        def loss_fused(flat):
+            rgb, dens = fused_mlp_lean(
+                x3, view_ray, flat, N, CFG['net_depth'],
+                CFG['net_depth_condition'], CFG['skip_index'], jnp.float32,
+                True, mode, (pad, bias))
+            return jnp.sum(rgb ** 2) + jnp.sum(dens ** 2), (rgb, dens)
+
+        def loss_manual(flat):
+            raw_rgb, raw_d = fused_mlp_lean(
+                x3, view_ray, flat, N, CFG['net_depth'],
+                CFG['net_depth_condition'], CFG['skip_index'], jnp.float32,
+                True, mode)
+            rgb = jax.nn.sigmoid(raw_rgb) * (1.0 + 2.0 * pad) - pad
+            dens = jax.nn.softplus(raw_d + bias)
+            return jnp.sum(rgb ** 2) + jnp.sum(dens ** 2), (rgb, dens)
+
+        (_, (r_f, d_f)), g_f = jax.value_and_grad(
+            loss_fused, has_aux=True)(tuple(flat))
+        (_, (r_m, d_m)), g_m = jax.value_and_grad(
+            loss_manual, has_aux=True)(tuple(flat))
+        np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_m),
+                                   rtol=1e-6, atol=1e-6, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_m),
+                                   rtol=1e-6, atol=1e-6, err_msg=mode)
+        for a, b in zip(g_f, g_m):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5, err_msg=mode)
