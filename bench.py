@@ -58,6 +58,10 @@ def main():
     # the graded number degrades instead of dying.
     hparams['nerf.mlp_backend'] = os.environ.get('BENCH_MLP_BACKEND',
                                                  'pallas_lean_save')
+    # Opt-in experiment: composite inside the megakernel (models/mipnerf.py
+    # fuse_render).  Off by default — measured slower than unfused.
+    if os.environ.get('BENCH_FUSE_RENDER'):
+        hparams['nerf.fuse_render'] = True
     if hparams['nerf.mlp_backend'] != 'xla' \
             and os.environ.get('BENCH_BACKEND_FALLBACK') != 'done':
         try:

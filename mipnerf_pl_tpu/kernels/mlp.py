@@ -1069,6 +1069,395 @@ def _run_bwd_lean(x, view, g_rgb, g_dens, flat_params, cfg, interpret):
         flat_params, interpret)
 
 
+# ---------------------------------------------------------------------------
+# Render fusion: volumetric compositing inside the lean megakernel.
+#
+# A lean tile of T rows holds T/N COMPLETE rays (T is always a multiple of
+# num_samples), so per-ray alpha compositing (ops/render.py:
+# volumetric_rendering, reference models/mip.py:366-401) can run in the
+# kernel epilogue: rgb and density never touch HBM at all, and the kernel
+# emits per-RAY outputs (comp_rgb, acc, raw distance, weights) that are
+# ~N x smaller than the per-sample streams.  This removes the XLA-side
+# compositing cluster that runs at 3/128 lane utilization on [M, 3]-minor
+# tensors (profiled ~4.5 ms/step at the lego shape: multiply_reduce
+# fusions, [M, 1] relayout copies, broadcasts — xplane trace,
+# tools/xplane_summary.py).  In-kernel, each channel is reshaped to a
+# full-lane [R, N] plane and the exclusive cumsum runs as a strictly-
+# triangular matmul on the otherwise-idle MXU.
+#
+# The backward takes the per-ray cotangents (g_comp, g_dist, g_acc,
+# g_weights — weights feed the distortion loss outside), recomputes the
+# composite from the saved/recomputed activations, and hands per-sample
+# raw-head cotangents to the shared gradient core.  delta / t-midpoint
+# inputs are parameter-free (stop_resample_grad is required by the lean
+# family), so their cotangents are structurally zero like x/view.
+# ---------------------------------------------------------------------------
+
+
+def _strict_tri(N, upper: bool):
+    """[N, N] f32 mask: upper -> 1 where row < col (exclusive prefix when
+    right-multiplied), else 1 where row > col (exclusive suffix)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    return ((r < c) if upper else (r > c)).astype(jnp.float32)
+
+
+# Mosaic cannot lower [T, 1] <-> [R, N] shape casts (infer-vector-layout:
+# unsupported shape cast), so the per-sample-column <-> per-ray-plane
+# conversions run as ONE-HOT MATMULS on the otherwise-idle MXU:
+#   seg[t, r] = [t // N == r]   (ray membership,   [T, R])
+#   q[t, n]   = [t %  N == n]   (in-ray position,  [T, N])
+# col->plane: (seg * col)^T-contract-q; plane->col: lane-reduce of
+# (seg @ plane) * q.  Exact (one-hot rows, f32 HIGHEST); ~8 MFLOP per
+# conversion at T=2048 vs the tile's ~2.3 GFLOP trunk.
+
+
+def _seg_mats(T, N):
+    R = T // N
+    t = jax.lax.broadcasted_iota(jnp.int32, (T, R), 0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (T, R), 1)
+    seg = ((t // N) == r).astype(jnp.float32)
+    t2 = jax.lax.broadcasted_iota(jnp.int32, (T, N), 0)
+    n2 = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    q = ((t2 % N) == n2).astype(jnp.float32)
+    return seg, q
+
+
+def _dot_hi(a, b, contract):
+    """f32 dot for the composite's one-hot / 0-1-mask matmuls.  HIGHEST
+    (6-pass f32 emulation) keeps them exact; Mosaic rejects
+    Precision.HIGH ("Unsupported dot precision"), and DEFAULT would
+    truncate the f32 operand to bf16.  These dots are tiny next to the
+    trunk (~8 MFLOP per conversion at T=2048 vs ~2.3 GFLOP)."""
+    return jax.lax.dot_general(
+        a, b, (contract, ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _col_to_rays(col, seg, q):
+    """[T, 1] -> [R, N] (row-major ray blocks)."""
+    return _dot_hi(seg * col, q, ((0,), (0,)))
+
+
+def _rays_to_col(z, seg, q):
+    """[R, N] -> [T, 1]."""
+    rows = _dot_hi(seg, z, ((1,), (0,)))          # [T, N]
+    return jnp.sum(rows * q, axis=-1, keepdims=True)
+
+
+def _per_ray(x_ray, seg):
+    """[R, k] -> [T, k] (broadcast each ray's row over its samples)."""
+    return _dot_hi(seg, x_ray, ((1,), (0,)))
+
+
+def _ray_reduce(x_col, seg):
+    """[T, k] -> [R, k] (sum each ray's samples)."""
+    return _dot_hi(seg, x_col, ((0,), (0,)))
+
+
+def _composite_parts(sigma_a, delta_col, seg, q, cfg):
+    """sigma_a / delta_col [T, 1] f32 -> (dd, alpha, trans, w) [R, N] and
+    w_col [T, 1]."""
+    N = cfg['num_samples']
+    dd = _col_to_rays(sigma_a * delta_col, seg, q)
+    alpha = 1.0 - jnp.exp(-dd)
+    s_excl = _dot_hi(dd, _strict_tri(N, upper=True), ((1,), (0,)))
+    trans = jnp.exp(-s_excl)
+    w = alpha * trans
+    return dd, alpha, trans, w, _rays_to_col(w, seg, q)
+
+
+def _lean_composite(rgb_a, sigma_a, delta_col, mids_col, cfg):
+    """Per-ray composite: -> (perray [R, 8] = comp_rgb | acc | dist_raw |
+    3 zero pad lanes, weights [R, N]).  dist_raw is the UNCLAMPED expected
+    distance — the reference's nan_to_num + clip runs outside on the tiny
+    [B] tensor.  comp/acc/dist come out of ONE [T, 5] -> [R, 5] reduce
+    matmul (distinct small dot shapes cost MXU reconfiguration bubbles)."""
+    N = cfg['num_samples']
+    T = rgb_a.shape[0]
+    seg, q = _seg_mats(T, N)
+    _, _, _, w, w_col = _composite_parts(sigma_a, delta_col, seg, q, cfg)
+    stacked = jnp.concatenate(
+        [rgb_a, jnp.ones_like(mids_col), mids_col], axis=-1)     # [T, 5]
+    red = _ray_reduce(w_col * stacked, seg)                      # [R, 5]
+    comp, acc = red[:, :3], red[:, 3:4]
+    if cfg['render']['white_bkgd']:
+        comp = comp + (1.0 - acc)
+    perray = jnp.concatenate(
+        [comp, red[:, 3:5], jnp.zeros_like(red[:, :3])], axis=-1)
+    return perray, w
+
+
+def _lean_render_head_cotangents(rgb_a, sigma_a, delta_col, mids_col,
+                                 g_perray, g_w_in, cfg):
+    """Backward of _lean_composite: packed per-ray cotangents
+    (g_perray [R, 8] = g_comp | g_acc | g_dist | pad, g_w_in [R, N]) ->
+    activated-head cotangents (g_rgb_a [T, 3], g_sigma_a [T, 1])."""
+    N = cfg['num_samples']
+    T = rgb_a.shape[0]
+    seg, q = _seg_mats(T, N)
+    dd, alpha, trans, w, w_col = _composite_parts(sigma_a, delta_col,
+                                                  seg, q, cfg)
+    g_comp = g_perray[:, :3]
+    ga = g_perray[:, 3:4]
+    if cfg['render']['white_bkgd']:
+        ga = ga - jnp.sum(g_comp, axis=-1, keepdims=True)
+    # Column-space accumulation of every per-ray cotangent's contribution
+    # to g_w: one [R, 5] -> [T, 5] broadcast matmul, one multiply, one
+    # lane reduce.
+    g_rows = _per_ray(
+        jnp.concatenate([ga, g_perray[:, 4:5], g_comp], axis=-1), seg)
+    mult = jnp.concatenate(
+        [jnp.ones_like(mids_col), mids_col, rgb_a], axis=-1)     # [T, 5]
+    g_w_col = jnp.sum(g_rows * mult, axis=-1, keepdims=True)
+    g_w = g_w_in + _col_to_rays(g_w_col, seg, q)
+    g_alpha = g_w * trans
+    g_s_excl = -trans * (g_w * alpha)
+    g_dd = jnp.exp(-dd) * g_alpha + _dot_hi(
+        g_s_excl, _strict_tri(N, upper=False), ((1,), (0,)))
+    g_rgb_a = w_col * g_rows[:, 2:5]
+    g_sigma_a = _rays_to_col(g_dd, seg, q) * delta_col
+    return g_rgb_a, g_sigma_a
+
+
+def _fwd_kernel_lean_render(x_ref, view_ref, dm_ref, *refs,
+                            cfg, save: bool):
+    n_params = cfg['n_params']
+    params = [r[:] for r in refs[:n_params]]
+    outs = refs[n_params:]
+    x = x_ref[:].astype(cfg['dtype'])
+    rgb, density, hs, ys, bottleneck = _fwd_body_lean(
+        x, view_ref[:], params, cfg)          # activated (cfg['act'] set)
+    dm = dm_ref[:]                            # [T, 2] = delta | mids
+    perray, w = _lean_composite(rgb, density, dm[:, 0:1], dm[:, 1:2], cfg)
+    outs[0][:] = perray
+    outs[1][:] = w
+    if save:
+        outs[2][:] = jnp.concatenate(hs + [bottleneck] + ys, axis=-1)
+
+
+def _bwd_kernel_lean_render(x_ref, view_ref, dm_ref, gp_ref, gw_ref,
+                            *refs, cfg, save: bool):
+    """Render-fused backward: rebuild the activated heads (from the saved
+    stream in save mode, by recompute otherwise), run the composite
+    backward, fold the activation derivatives, then the shared gradient
+    core."""
+    net_depth = cfg['net_depth']
+    nvd = cfg['net_depth_condition']
+    skip = cfg['skip_index']
+    n_params = cfg['n_params']
+    f32 = jnp.float32
+    x = x_ref[:].astype(cfg['dtype'])
+    vr = view_ref[:]
+    if save:
+        saved_ref = refs[0]
+        params = [r[:] for r in refs[1:1 + n_params]]
+        dparam_refs = refs[1 + n_params:]
+        packed = saved_ref[:]
+        parts, off = [], 0
+        for wd in cfg['saved_widths']:
+            parts.append(packed[:, off:off + wd])
+            off += wd
+        hs, bottleneck, ys = (parts[:net_depth], parts[net_depth],
+                              parts[net_depth + 1:])
+    else:
+        params = [r[:] for r in refs[:n_params]]
+        dparam_refs = refs[n_params:]
+        _, _, hs, ys, bottleneck = _fwd_body_lean(
+            x, vr, params, {**cfg, 'act': None})
+
+    # Raw heads from the activations (two small matmuls), then the
+    # activated values the composite backward needs.
+    pad, bias = cfg['act']
+    i_rgb = 2 * (net_depth + 2 + nvd)
+    raw_rgb = jnp.dot(ys[-1], params[i_rgb], preferred_element_type=f32) \
+        + params[i_rgb + 1].astype(f32)
+    h_last = hs[-1]
+    if (net_depth - 1) % skip == 0 and net_depth - 1 > 0:
+        h_last = jnp.concatenate([h_last, x], axis=-1)
+    raw_d = jnp.dot(h_last, params[2 * net_depth],
+                    preferred_element_type=f32) \
+        + params[2 * net_depth + 1].astype(f32)
+    rgb_a, sigma_a = _lean_apply_act(raw_rgb, raw_d, cfg['act'])
+
+    dm = dm_ref[:]                            # [T, 2] = delta | mids
+    g_rgb_a, g_sigma_a = _lean_render_head_cotangents(
+        rgb_a, sigma_a, dm[:, 0:1], dm[:, 1:2],
+        gp_ref[:], gw_ref[:], cfg)
+
+    sig = jax.nn.sigmoid(raw_rgb)
+    g_rgb = g_rgb_a * ((1.0 + 2.0 * pad) * sig * (1.0 - sig))
+    g_dens = g_sigma_a * jax.nn.sigmoid(raw_d + bias)
+    _lean_param_grads(x, vr, g_rgb, g_dens, hs, ys, bottleneck, params,
+                      dparam_refs, {**cfg, 'act': None})
+
+
+def _run_fwd_lean_render(x, view, dm, flat_params, cfg, interpret,
+                         save: bool):
+    N = cfg['num_samples']
+    T = _lean_tile(_ROW_TILE_LEAN_SAVE_FWD if save else _ROW_TILE, N)
+    M = x.shape[0]
+    Mp = ((M + T - 1) // T) * T
+    R = Mp // N                       # padded ray count
+    Rt = T // N                       # rays per tile
+    B = M // N                        # real ray count
+    x = _pad_rows(x, Mp)
+    view = _pad_rows(view, R)
+    dm = _pad_rows(dm, Mp)
+    saved_w = sum(cfg['saved_widths'])
+    dtype = cfg['dtype']
+    out_shapes = [jax.ShapeDtypeStruct((R, 8), jnp.float32),
+                  jax.ShapeDtypeStruct((R, N), jnp.float32)]
+    out_specs = [_tile_spec_t(8, Rt), _tile_spec_t(N, Rt)]
+    if save:
+        out_shapes.append(jax.ShapeDtypeStruct((Mp, saved_w), dtype))
+        out_specs.append(_tile_spec_t(saved_w, T))
+    kernel = functools.partial(_fwd_kernel_lean_render, cfg=cfg, save=save)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid=(Mp // T,),
+        in_specs=([_tile_spec_t(x.shape[1], T),
+                   _tile_spec_t(view.shape[1], Rt),
+                   _tile_spec_t(2, T)]
+                  + [_full_spec() for _ in flat_params]),
+        out_specs=tuple(out_specs),
+        interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
+    )(x, view, dm, *flat_params)
+    perray, w = outs[:2]
+    saved = outs[2] if save else None
+    return (perray[:B], w[:B]), saved
+
+
+def _run_bwd_lean_render(x, view, dm, g_perray, g_w,
+                         saved, flat_params, cfg, interpret, save: bool):
+    N = cfg['num_samples']
+    T = _lean_tile(_ROW_TILE_LEAN_SAVE if save else _ROW_TILE_BWD, N)
+    M = x.shape[0]
+    Mp = ((M + T - 1) // T) * T
+    R = Mp // N
+    Rt = T // N
+    x = _pad_rows(x, Mp)
+    view = _pad_rows(view, R)
+    dm = _pad_rows(dm, Mp)
+    g_perray = _pad_rows(g_perray, R)
+    g_w = _pad_rows(g_w, R)
+    extra = []
+    if save:
+        extra = [saved if saved.shape[0] == Mp
+                 else _pad_rows(saved[:M], Mp)]
+    kernel = functools.partial(_bwd_kernel_lean_render, cfg=cfg, save=save)
+    dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
+                     for p in flat_params]
+    dparam_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                    for p in flat_params]
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(dparam_shapes),
+        grid=(Mp // T,),
+        in_specs=([_tile_spec_t(x.shape[1], T),
+                   _tile_spec_t(view.shape[1], Rt),
+                   _tile_spec_t(2, T),
+                   _tile_spec_t(8, Rt), _tile_spec_t(N, Rt)]
+                  + [_tile_spec_t(s.shape[1], T) for s in extra]
+                  + [_full_spec() for _ in flat_params]),
+        out_specs=tuple(dparam_specs),
+        interpret=_resolve_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
+    )(x, view, dm, g_perray, g_w, *extra, *flat_params)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11,
+                                                    12, 13))
+def fused_mlp_lean_render(x, view, delta, mids, flat_params,
+                          num_samples: int, net_depth: int,
+                          net_depth_condition: int, skip_index: int,
+                          compute_dtype=jnp.bfloat16, interpret=None,
+                          mode: str = 'save', act=(0.001, -1.0),
+                          white_bkgd: bool = True):
+    """Level megakernel: MLP + head activations + volumetric compositing in
+    one pallas_call.  (x [M, F], view [M/N, Fv], delta [M/N, N] =
+    (t1 - t0) * ||dir||, mids [M/N, N] = 0.5 (t0 + t1), params) ->
+    (comp_rgb [M/N, 3], dist_raw [M/N, 1], acc [M/N, 1], weights [M/N, N]).
+
+    Numerically equivalent to MLP + models/mipnerf.py's head epilogue +
+    ops/render.py:volumetric_rendering with the distance clamp left to the
+    caller (dist_raw is unclamped).  The exclusive transmittance cumsum
+    runs as a strictly-triangular [N, N] matmul (f32, HIGHEST) — summation
+    order differs from XLA's scan at the ~1e-6 level.  NON-DIFFERENTIABLE
+    in x / view / delta / mids (zero cotangents): requires
+    stop_resample_grad, like the rest of the lean family.  `act` is the
+    (rgb_padding, density_bias) pair and is REQUIRED (the composite
+    consumes activated heads).
+
+    mode='save' streams activations to HBM for a zero-recompute backward;
+    mode='recompute' re-runs the forward per tile in the backward.
+    """
+    if net_depth_condition < 1:
+        raise ValueError('fused_mlp_lean_render requires '
+                         'net_depth_condition >= 1')
+    if act is None:
+        raise ValueError('fused_mlp_lean_render requires act=(rgb_padding, '
+                         'density_bias) — the composite consumes activated '
+                         'heads')
+    cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
+                    compute_dtype, num_samples, act)
+    cfg['render'] = {'white_bkgd': white_bkgd}
+    wparams = [p.astype(compute_dtype) for p in flat_params]
+    dm = jnp.concatenate([delta, mids], axis=-1).astype(jnp.float32)
+    (perray, w), _ = _run_fwd_lean_render(
+        x, view, dm, wparams, cfg, interpret, mode == 'save')
+    return perray[:, 0:3], perray[:, 4:5], perray[:, 3:4], w
+
+
+def _fused_mlp_lean_render_fwd(x, view, delta, mids, flat_params,
+                               num_samples, net_depth, net_depth_condition,
+                               skip_index, compute_dtype, interpret, mode,
+                               act, white_bkgd):
+    if net_depth_condition < 1 or act is None:
+        raise ValueError('fused_mlp_lean_render requires '
+                         'net_depth_condition >= 1 and act')
+    cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
+                    compute_dtype, num_samples, act)
+    cfg['render'] = {'white_bkgd': white_bkgd}
+    wparams = [p.astype(compute_dtype) for p in flat_params]
+    dm = jnp.concatenate([delta, mids], axis=-1).astype(jnp.float32)
+    (perray, w), saved = _run_fwd_lean_render(
+        x, view, dm, wparams, cfg, interpret, mode == 'save')
+    return ((perray[:, 0:3], perray[:, 4:5], perray[:, 3:4], w),
+            (x, view, dm, flat_params, saved))
+
+
+def _fused_mlp_lean_render_bwd(num_samples, net_depth, net_depth_condition,
+                               skip_index, compute_dtype, interpret, mode,
+                               act, white_bkgd, res, g):
+    g_comp, g_dist, g_acc, g_w = g
+    x, view, dm, flat_params, saved = res
+    cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
+                    compute_dtype, num_samples, act)
+    cfg['render'] = {'white_bkgd': white_bkgd}
+    wparams = [p.astype(compute_dtype) for p in flat_params]
+    # Pack per-ray cotangents to the kernel's [R, 8] stream layout
+    # (comp | acc | dist | 3 pad lanes) — one input stream, not four.
+    g_perray = jnp.concatenate(
+        [g_comp, g_acc, g_dist, jnp.zeros_like(g_comp)],
+        axis=-1).astype(jnp.float32)
+    outs = _run_bwd_lean_render(
+        x, view, dm, g_perray, g_w, saved, wparams,
+        cfg, interpret, mode == 'save')
+    dparams = [d.reshape(p.shape).astype(p.dtype)
+               for d, p in zip(outs, flat_params)]
+    return (jnp.zeros_like(x), jnp.zeros_like(view),
+            jnp.zeros_like(dm[:, 0:1]), jnp.zeros_like(dm[:, 1:2]),
+            tuple(dparams))
+
+
+fused_mlp_lean_render.defvjp(_fused_mlp_lean_render_fwd,
+                             _fused_mlp_lean_render_bwd)
+
+
 def _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
               compute_dtype, num_samples, act=None):
     cfg = _cfg(net_depth, net_depth_condition, skip_index,

@@ -107,6 +107,12 @@ class MipNerf(nn.Module):
     #                 XLA forward (activations are free autodiff residuals)
     #                 + the zero-recompute Pallas backward (fastest)
     mlp_backend: str = 'xla'
+    # Opt-in render fusion: composite inside the lean megakernel (per-ray
+    # outputs, rgb/density never reach HBM).  Off by default — measured
+    # slower than the unfused lean_save path at the lego shape (the packed
+    # per-ray streams cost more in backward grid sync than the XLA
+    # compositing cluster they replace); kept as an opt-in experiment.
+    fuse_render: bool = False
 
     def setup(self):
         if (self.mlp_backend in ('pallas_lean', 'pallas_lean_save',
@@ -136,6 +142,16 @@ class MipNerf(nn.Module):
             and self.rgb_activation == 'sigmoid'
             and self.density_activation == 'softplus'
             and self.density_noise == 0.0)
+        # Render fusion: volumetric compositing inside the megakernel too
+        # (kernels/mlp.py render-fusion section).  Needs the activated
+        # heads in-kernel, the 3+1 channel layout, and a lean backend with
+        # its own backward (hybrid's XLA forward composites in XLA anyway).
+        self._fused_render = (
+            self.fuse_render
+            and self._fused_act
+            and self.mlp_backend in ('pallas_lean', 'pallas_lean_save')
+            and self.mlp_num_rgb_channels == 3
+            and self.mlp_num_density_channels == 1)
         mlp_cls = nn.remat(MLP) if self.remat == 'mlp' else MLP
         self.mlp = mlp_cls(
             fused_activation=((float(self.rgb_padding),
@@ -222,6 +238,29 @@ class MipNerf(nn.Module):
                 samples_enc = integrated_pos_enc(
                     means_covs, self.min_deg_point, self.max_deg_point)
 
+            # In unbounded mode t_samples carries t_inv; composite over the
+            # ascending world-space distances.
+            t_render = 1.0 / t_samples if self.unbounded else t_samples
+
+            if self._fused_render:
+                # Level megakernel: MLP + activations + compositing in one
+                # pallas_call; rgb/density never reach HBM.  Only the
+                # distance clamp stays outside (a [B]-sized op).
+                viewdirs_enc = pos_enc(
+                    rays.viewdirs, min_deg=0, max_deg=self.deg_view,
+                    append_identity=self.append_identity)
+                t0, t1 = t_render[..., :-1], t_render[..., 1:]
+                mids = 0.5 * (t0 + t1)
+                delta = (t1 - t0) * jnp.linalg.norm(
+                    rays.directions, axis=-1, keepdims=True)
+                comp_rgb, dist_raw, acc, weights = self.mlp(
+                    samples_enc, viewdirs_enc, (delta, mids, white_bkgd))
+                distance = jnp.clip(jnp.nan_to_num(dist_raw, nan=0.0),
+                                    t_render[..., 0], t_render[..., -1])
+                ret.append(LevelOutput(comp_rgb, distance, acc, weights,
+                                       t_samples))
+                continue
+
             if self.use_viewdirs:
                 viewdirs_enc = pos_enc(
                     rays.viewdirs, min_deg=0, max_deg=self.deg_view,
@@ -244,9 +283,6 @@ class MipNerf(nn.Module):
                 rgb = self._rgb_act(raw_rgb)
                 rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
                 density = self._density_act(raw_density + self.density_bias)
-            # In unbounded mode t_samples carries t_inv; composite over the
-            # ascending world-space distances.
-            t_render = 1.0 / t_samples if self.unbounded else t_samples
             comp_rgb, distance, acc, weights = volumetric_rendering(
                 rgb, density, t_render, rays.directions, white_bkgd=white_bkgd)
             ret.append(LevelOutput(comp_rgb, distance, acc, weights, t_samples))
@@ -288,4 +324,5 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         unbounded=bool(hparams.get('nerf.unbounded', False)),
         ipe_backend=str(hparams.get('nerf.ipe_backend', 'xla')),
         mlp_backend=str(hparams.get('nerf.mlp_backend', 'xla')),
+        fuse_render=bool(hparams.get('nerf.fuse_render', False)),
     )

@@ -74,18 +74,27 @@ class MLP(nn.Module):
         raise NotImplementedError(self.net_activation)
 
     @nn.compact
-    def __call__(self, x, view_direction: Optional[jnp.ndarray] = None):
+    def __call__(self, x, view_direction: Optional[jnp.ndarray] = None,
+                 render=None):
         """Evaluate the MLP.
 
         Args:
           x: [batch, num_samples, feature] encoded sample positions (IPE).
           view_direction: optional [batch, feature] encoded view directions,
             shared by all samples of a ray.
+          render: optional (delta [batch, N], mids [batch, N], white_bkgd)
+            — fuse volumetric compositing into the lean megakernel and
+            return PER-RAY outputs (comp_rgb, dist_raw, acc, weights)
+            instead of the raw heads.  Requires a lean backend and
+            `fused_activation`.
 
         Returns:
           raw_rgb: [batch, num_samples, num_rgb_channels] (float32)
           raw_density: [batch, num_samples, num_density_channels] (float32)
+          — or the per-ray render tuple when `render` is given.
         """
+        if render is not None:
+            return self._call_pallas_lean_render(x, view_direction, *render)
         num_samples = x.shape[-2]
         if (self.backend in ('pallas_lean', 'pallas_lean_save',
                              'pallas_hybrid')
@@ -226,6 +235,42 @@ class MLP(nn.Module):
                                    None, mode, self.fused_activation)
         return (rgb.reshape(*lead, self.num_rgb_channels),
                 dens.reshape(*lead, self.num_density_channels))
+
+    def _call_pallas_lean_render(self, x, view_direction, delta, mids,
+                                 white_bkgd):
+        """Level megakernel (kernels/mlp.py:fused_mlp_lean_render): MLP +
+        head activations + volumetric compositing in one pallas_call,
+        returning per-ray (comp_rgb, dist_raw [unclamped], acc, weights)."""
+        from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean_render
+
+        if self.backend not in ('pallas_lean', 'pallas_lean_save'):
+            raise ValueError('render fusion requires a lean pallas backend, '
+                             f'got {self.backend!r}')
+        if self.net_activation != 'relu':
+            raise ValueError('pallas backends are ReLU-only, got '
+                             f'{self.net_activation!r}')
+        if self.num_rgb_channels != 3 or self.num_density_channels != 1:
+            raise ValueError('render fusion requires 3 rgb channels and 1 '
+                             'density channel')
+        if self.fused_activation is None:
+            raise ValueError('render fusion requires fused_activation')
+        if view_direction is None:
+            raise ValueError('render fusion requires view directions')
+        num_samples = x.shape[-2]
+        xyz_dim = x.shape[-1]
+        flat = self._declare_flat_params(xyz_dim, view_direction.shape[-1])
+        lead = x.shape[:-2]
+        x2 = x.reshape(-1, xyz_dim).astype(self.compute_dtype)
+        view2 = view_direction.reshape(-1, view_direction.shape[-1])
+        d2 = delta.reshape(-1, 1)
+        m2 = mids.reshape(-1, 1)
+        mode = 'save' if self.backend == 'pallas_lean_save' else 'recompute'
+        comp, dist, acc, w = fused_mlp_lean_render(
+            x2, view2, d2, m2, tuple(flat), num_samples, self.net_depth,
+            self.net_depth_condition, self.skip_index, self.compute_dtype,
+            None, mode, self.fused_activation, bool(white_bkgd))
+        return (comp.reshape(*lead, 3), dist.reshape(*lead),
+                acc.reshape(*lead), w.reshape(*lead, num_samples))
 
     def _call_pallas(self, x, view_direction):
         """Fused-megakernel evaluation (kernels/mlp.py)."""

@@ -497,3 +497,83 @@ def test_fused_mlp_lean_activation_epilogue():
         for a, b in zip(g_f, g_m):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5, err_msg=mode)
+
+
+def _model_pair_losses(m_a, m_b, params, rays, with_distloss=True):
+    """Loss touching comp_rgb AND weights (via distloss) at every level —
+    exercises the g_comp and g_weights cotangent paths together."""
+    from mipnerf_pl_tpu.ops.render import distloss
+
+    def loss(model, p):
+        ret = model.apply(p, rays, jax.random.PRNGKey(2), True, True)
+        total = sum(jnp.mean(lv.rgb ** 2) for lv in ret)
+        if with_distloss:
+            total = total + 0.01 * sum(
+                distloss(lv.weights, lv.t_samples) for lv in ret)
+        return total
+
+    return jax.grad(lambda p: loss(m_a, p))(params), \
+        jax.grad(lambda p: loss(m_b, p))(params)
+
+
+@pytest.mark.parametrize('backend', ['pallas_lean', 'pallas_lean_save'])
+def test_model_render_fusion_matches_xla(backend):
+    """The render-fused level megakernel must match the XLA model with the
+    SAME params in all LevelOutput fields and in parameter gradients of a
+    loss that uses both comp_rgb and weights (distloss)."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2)
+    rays = random_rays(16)
+    m_x = MipNerf(**kw, mlp_backend='xla')
+    m_r = MipNerf(**kw, mlp_backend=backend, fuse_render=True)
+    params = m_x.init(jax.random.PRNGKey(0), rays, None, False, True)
+
+    r_x = m_x.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_r = m_r.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    for lx, lr in zip(r_x, r_r):
+        np.testing.assert_allclose(np.asarray(lr.rgb), np.asarray(lx.rgb),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lr.distance),
+                                   np.asarray(lx.distance),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lr.acc), np.asarray(lx.acc),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lr.weights),
+                                   np.asarray(lx.weights),
+                                   rtol=1e-5, atol=1e-6)
+
+    g_x, g_r = _model_pair_losses(m_x, m_r, params, rays)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_model_render_fusion_white_bkgd_and_unbounded():
+    """white_bkgd=False and unbounded=True variants through the fused
+    render path match XLA."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    for unbounded in (False, True):
+        kw = dict(num_samples=8, max_deg_point=4, deg_view=2,
+                  mlp_net_depth=3, mlp_net_width=16,
+                  mlp_net_width_condition=8, mlp_skip_index=2,
+                  unbounded=unbounded)
+        rays = random_rays(16)
+        m_x = MipNerf(**kw, mlp_backend='xla')
+        m_r = MipNerf(**kw, mlp_backend='pallas_lean_save',
+                      fuse_render=True)
+        params = m_x.init(jax.random.PRNGKey(0), rays, None, False, False)
+        r_x = m_x.apply(params, rays, jax.random.PRNGKey(1), False, False)
+        r_r = m_r.apply(params, rays, jax.random.PRNGKey(1), False, False)
+        np.testing.assert_allclose(np.asarray(r_r[-1].rgb),
+                                   np.asarray(r_x[-1].rgb),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f'unbounded={unbounded}')
+        np.testing.assert_allclose(np.asarray(r_r[-1].distance),
+                                   np.asarray(r_x[-1].distance),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f'unbounded={unbounded}')
