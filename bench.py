@@ -4,7 +4,25 @@
 Runs the EXACT reference training workload shape — batch 3072 rays, 128
 samples x 2 levels through the shared 8x256 MLP (configs/lego.yaml:5,20-21,
 38-39), Adam + MipLRDecay, masked MSE + distloss — on synthetic rays (no
-dataset dependency) and prints one JSON line.
+dataset dependency) and prints JSON lines; the LAST line is the graded
+result.
+
+Robustness contract (the tunneled TPU's compile latency swings 2-15+ min,
+and round 2's bench timed out with no number at all):
+  * The parent process never touches JAX.  Each measurement runs in a child
+    process (the tunnel grants the chip to one client at a time), so a
+    hung/slow attempt is killable without losing what already printed.
+  * The known-fast-to-compile XLA backend is measured FIRST and its JSON
+    line printed immediately; the faster Pallas megakernel backend is then
+    attempted under a hard wall-clock deadline and its line printed only if
+    it beats the XLA number.  A stalled Pallas compile can therefore
+    degrade the result, never erase it.
+  * A persistent XLA compilation cache (mipnerf_pl_tpu/compile_cache.py)
+    makes retries and repeat runs warm.
+Env knobs: BENCH_MLP_BACKEND (default pallas_lean_save; 'xla' skips the
+second child), BENCH_XLA_TIMEOUT / BENCH_PALLAS_TIMEOUT (seconds),
+BENCH_K (steps per dispatch), BENCH_BATCH (smoke-testing only),
+BENCH_FUSE_RENDER (opt-in experiment).
 
 vs_baseline: the denominator is an estimate of the reference PyTorch code on
 an A100 (the reference publishes no speed numbers and no GPU exists here).
@@ -12,72 +30,69 @@ Provenance — BASELINE.md "Throughput denominator": bracketed by (a) the
 measured reference-torch step on this host's CPU (tools/measure_ref_torch.py:
 104.9 s/step = 29 rays/s on one core, 27 GFLOP/s effective) and (b) an A100
 roofline of the step's measured 2.81 TFLOP / >=21 GB fp32 eager traffic
-(~50-100 ms/step => ~10-30k rays/s). 10k is the bracket's lower edge and the
-driver's original framing (BENCH_r01).
+(~50-100 ms/step => ~10-30k rays/s).  10k is the bracket's LOWER edge (the
+driver's original framing, BENCH_r01); the printed `vs_baseline_bracket`
+gives the ratio at both edges so the claim is never anchored to the
+friendliest denominator alone.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-REFERENCE_RAYS_PER_SEC = 10_000.0  # A100 PyTorch estimate; BASELINE.md "Throughput denominator"
+REFERENCE_RAYS_PER_SEC = 10_000.0  # A100 torch estimate, bracket lower edge
+REFERENCE_RAYS_PER_SEC_UPPER = 30_000.0  # bracket upper edge (BASELINE.md)
 
+
+# ---------------------------------------------------------------------------
+# Child: claim the chip, measure one backend, print one JSON line.
+# ---------------------------------------------------------------------------
 
 def _ensure_backend():
     """The tunneled TPU plugin occasionally fails to claim its grant right
     after another process released it; re-exec once or twice to retry."""
-    import os
-    import sys
     try:
         import jax
+        # The image's sitecustomize re-exports JAX_PLATFORMS=axon at
+        # interpreter startup; make the caller's env selection (e.g.
+        # JAX_PLATFORMS=cpu smoke runs) authoritative again.
+        plats = os.environ.get('JAX_PLATFORMS')
+        if plats:
+            jax.config.update('jax_platforms', plats)
         jax.devices()
         return
-    except RuntimeError as e:
+    except RuntimeError:
         retries = int(os.environ.get('BENCH_BACKEND_RETRIES', '0'))
-        if retries >= 3:
+        if retries >= int(os.environ.get('BENCH_BACKEND_MAX_RETRIES', '8')):
             raise
         os.environ['BENCH_BACKEND_RETRIES'] = str(retries + 1)
         time.sleep(30)
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
-def main():
-    import os
-    import sys
+def _child_main(backend: str):
     _ensure_backend()
+    from mipnerf_pl_tpu.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from mipnerf_pl_tpu.config import default
-
     hparams = default()
     hparams['train.compute_dtype'] = 'bfloat16'
-    # Fastest measured backend: the lean-save Pallas megakernel family
-    # (DESIGN.md §10).  This also continuously exercises the compiled
-    # (non-interpret) Pallas path on real hardware.  BENCH_MLP_BACKEND
-    # overrides; on any failure the run re-execs with the XLA backend so
-    # the graded number degrades instead of dying.
-    hparams['nerf.mlp_backend'] = os.environ.get('BENCH_MLP_BACKEND',
-                                                 'pallas_lean_save')
+    hparams['nerf.mlp_backend'] = backend
     # Opt-in experiment: composite inside the megakernel (models/mipnerf.py
     # fuse_render).  Off by default — measured slower than unfused.
     if os.environ.get('BENCH_FUSE_RENDER'):
         hparams['nerf.fuse_render'] = True
-    if hparams['nerf.mlp_backend'] != 'xla' \
-            and os.environ.get('BENCH_BACKEND_FALLBACK') != 'done':
-        try:
-            return _run(hparams)
-        except Exception as e:  # pragma: no cover - hardware-path guard
-            print(f'# pallas bench failed ({type(e).__name__}); '
-                  'falling back to xla', file=sys.stderr)
-            os.environ['BENCH_BACKEND_FALLBACK'] = 'done'
-            os.environ['BENCH_MLP_BACKEND'] = 'xla'
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-    return _run(hparams)
+    if os.environ.get('BENCH_BATCH'):  # smoke-testing only
+        hparams['train.batch_size'] = int(os.environ['BENCH_BATCH'])
+    _run(hparams)
 
 
 def _run(hparams):
-    import os
-
     import jax
 
     from mipnerf_pl_tpu.train.system import MipNeRFSystem
@@ -132,8 +147,74 @@ def _run(hparams):
         'value': round(rays_per_sec_chip, 1),
         'unit': 'rays/s/chip',
         'vs_baseline': round(rays_per_sec_chip / REFERENCE_RAYS_PER_SEC, 3),
-    }))
+        'backend': str(hparams['nerf.mlp_backend']),
+        'ms_per_step': round(1e3 * batch_size / rays_per_sec_chip, 2),
+        'vs_baseline_bracket': [
+            round(rays_per_sec_chip / REFERENCE_RAYS_PER_SEC_UPPER, 3),
+            round(rays_per_sec_chip / REFERENCE_RAYS_PER_SEC, 3)],
+    }), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Parent: orchestrate children; guarantee a tail JSON line lands.
+# ---------------------------------------------------------------------------
+
+def _run_child(backend: str, timeout: float):
+    """Run one measurement child; return its parsed JSON line or None."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--child', backend],
+            capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired as e:
+        for s in (e.stderr, e.stdout):
+            if s:
+                sys.stderr.write(s if isinstance(s, str) else s.decode())
+        print(f'# bench child {backend!r} hit the {timeout:.0f}s deadline; '
+              'killed', file=sys.stderr, flush=True)
+        return None
+    if proc.stderr:
+        sys.stderr.write(proc.stderr)
+        sys.stderr.flush()
+    result = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith('{'):
+            try:
+                result = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+        elif line:
+            print(f'# child[{backend}]: {line}', file=sys.stderr)
+    if proc.returncode != 0:
+        print(f'# bench child {backend!r} exited rc={proc.returncode}',
+              file=sys.stderr, flush=True)
+    return result
+
+
+def main():
+    best_backend = os.environ.get('BENCH_MLP_BACKEND', 'pallas_lean_save')
+    plan = [('xla', float(os.environ.get('BENCH_XLA_TIMEOUT', '2700')))]
+    if best_backend != 'xla':
+        plan.append((best_backend,
+                     float(os.environ.get('BENCH_PALLAS_TIMEOUT', '1500'))))
+
+    best = None
+    for backend, timeout in plan:
+        result = _run_child(backend, timeout)
+        if result is None:
+            continue
+        if best is None or result['value'] > best['value']:
+            best = result
+            # Print improvements as they land: the driver parses the tail,
+            # so the best line so far is always the last one out.
+            print(json.dumps(best), flush=True)
+    if best is None:
+        print('# bench: no measurement landed', file=sys.stderr, flush=True)
+        sys.exit(1)
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == '--child':
+        _child_main(sys.argv[2])
+    else:
+        main()

@@ -34,10 +34,17 @@ parser.add_argument('--base_size', help='source image size', type=int,
                     nargs=2, default=[800, 800])
 parser.add_argument('--no_video', help='skip video generation',
                     action='store_true')
+parser.add_argument('--dataset_name', default=None,
+                    help='override the checkpoint-recorded dataset type '
+                         '(e.g. eval a single-scale-trained model on a '
+                         'multi_blender pyramid for ablations)')
 
 
 def main(args):
     import numpy as np
+
+    from mipnerf_pl_tpu.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from mipnerf_pl_tpu.data.datasets import dataset_dict
     from mipnerf_pl_tpu.train.ckpt import load_hparams, restore_for_eval
@@ -56,7 +63,7 @@ def main(args):
     system.white_bkgd = bool(args.white_bkgd)
     _, state = restore_for_eval(args.ckpt, system.abstract_state())
 
-    test_dataset = dataset_dict[hparams['dataset_name']](
+    test_dataset = dataset_dict[args.dataset_name or hparams['dataset_name']](
         data_dir=args.data, split='test',
         white_bkgd=hparams['val.white_bkgd'],
         batch_type=hparams['val.batch_type'])

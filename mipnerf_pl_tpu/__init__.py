@@ -24,4 +24,28 @@ Layer map (mirrors reference SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+
+def _respect_env_platform():
+    """Make an explicit JAX_PLATFORMS env selection authoritative.
+
+    This image's sitecustomize registers a tunneled TPU PJRT plugin at
+    interpreter startup and force-sets the LIVE jax config
+    (jax_platforms='axon,cpu'), which silently overrides the user's
+    `JAX_PLATFORMS=cpu python train.py ...` — a CPU smoke run would claim
+    the single-client TPU grant instead.  Re-assert the env value on the
+    live config (harmless everywhere else: config == env already)."""
+    import os
+    plats = os.environ.get("JAX_PLATFORMS")
+    if not plats:
+        return
+    try:
+        import jax
+        if jax.config.jax_platforms != plats:
+            jax.config.update("jax_platforms", plats)
+    except Exception:  # jax absent/ancient: nothing to fix
+        pass
+
+
+_respect_env_platform()
+
 from mipnerf_pl_tpu.rays import Rays, namedtuple_map  # noqa: F401

@@ -148,35 +148,6 @@ def expected_sin_var(x, x_var):
     return y, jnp.maximum(0.0, y_var)
 
 
-def ipe_scaled_moments(means_covs, min_deg: int, max_deg: int):
-    """Scale-ladder moments of the diagonal IPE: (y, y_var) [..., N, D*L],
-    laid out scale-major dim-minor (reference models/mip.py:336-341),
-    consumed by `integrated_pos_enc` (expected_sin runs in XLA, where its
-    sin/cos lowering is faster than Mosaic's — measured, DESIGN.md §6).
-
-    TPU note: computed as a one-hot-scaled matmul `means @ S` with
-    S[d, k*D + d] = 2^(min_deg+k) rather than the reference's
-    broadcast-along-a-new-scale-axis + reshape.  The broadcast form makes
-    XLA materialize scale-major [L, D, ...] intermediates whose layout
-    disagrees with the row-major [rows, L*D] the downstream sin fusion and
-    MLP input stream want — profiled at ~2 ms/step of pure layout-copy
-    traffic at the lego shape (xplane trace, tools/xplane_summary.py).  The
-    matmul emits [rows, L*D] in {1,0} layout natively; each output element
-    is a single product (one-hot rows, Precision.HIGHEST), so the values
-    are bit-identical to the broadcast form."""
-    means, covs_diag = means_covs
-    num_dims = means.shape[-1]
-    num_scales = max_deg - min_deg
-    scales = np.asarray([2.0 ** i for i in range(min_deg, max_deg)])
-    sel = np.tile(np.eye(num_dims), (1, num_scales))            # [D, L*D]
-    s = jnp.asarray(sel * np.repeat(scales, num_dims)[None, :],
-                    dtype=means.dtype)
-    y = jnp.matmul(means, s, precision=jax.lax.Precision.HIGHEST)
-    y_var = jnp.matmul(covs_diag, s * s,
-                       precision=jax.lax.Precision.HIGHEST)
-    return y, y_var
-
-
 def integrated_pos_enc(means_covs, min_deg: int, max_deg: int,
                        diagonal: bool = True):
     """Integrated positional encoding: E[sin(2^k x)] under a Gaussian.

@@ -122,9 +122,15 @@ class MipNeRFSystem:
             hparams['optimizer.lr_delay_mult'])
         self.tx = optax.adam(learning_rate=self.lr_schedule)
         self.model_axis = int(hparams.get('parallel.model_axis', 1) or 1)
+        # Device count: num_devices wins; otherwise honor the reference's
+        # `num_gpus` key (reference configs/lego.yaml:2 carries it, so a
+        # reference-style config with num_gpus: 2 must use 2 chips, not
+        # silently all of them).  0/unset on both = all visible chips.
+        num_devices = int(hparams.get('num_devices', 0) or 0)
+        if num_devices <= 0:
+            num_devices = int(hparams.get('num_gpus', 0) or 0)
         self.mesh = mesh if mesh is not None else create_mesh(
-            int(hparams.get('num_devices', 0) or 0),
-            model_axis=self.model_axis)
+            num_devices, model_axis=self.model_axis)
         self.batch_sharding = batch_sharding(self.mesh)
         self.param_sharding = replicated_sharding(self.mesh)
         from mipnerf_pl_tpu.parallel.mesh import stacked_batch_sharding

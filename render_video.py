@@ -55,6 +55,9 @@ def generate_video(image_path: str, fps: int = 40) -> None:
 def run_render(args):
     import numpy as np
 
+    from mipnerf_pl_tpu.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from mipnerf_pl_tpu.data.render_path import spheric_render_rays
     from mipnerf_pl_tpu.train.ckpt import load_hparams, restore_for_eval
     from mipnerf_pl_tpu.train.system import MipNeRFSystem

@@ -69,6 +69,24 @@ def test_roundtrip_save_load(tmp_path):
     assert cfg2['train.batch_size'] == cfg['train.batch_size']
 
 
+def test_num_gpus_honored_as_device_count():
+    """A reference-style config with num_gpus set must use that many
+    devices when num_devices is unset (ref configs/lego.yaml:2)."""
+    from tests.helpers import tiny_hparams
+    from mipnerf_pl_tpu.train.system import MipNeRFSystem
+
+    hp = tiny_hparams()
+    assert hp['num_devices'] == 0 and hp['num_gpus'] == 0
+    # Default: all 8 virtual devices.
+    assert MipNeRFSystem(hp).mesh.devices.size == 8
+    # num_gpus is the fallback device count...
+    hp2 = tiny_hparams(**{'num_gpus': 2})
+    assert MipNeRFSystem(hp2).mesh.devices.size == 2
+    # ...and num_devices wins when both are set.
+    hp3 = tiny_hparams(**{'num_gpus': 2, 'num_devices': 4})
+    assert MipNeRFSystem(hp3).mesh.devices.size == 4
+
+
 def test_real360_yaml_loads():
     cfg = config_lib.load(os.path.join(CONFIGS, 'real360.yaml'))
     assert cfg['nerf.unbounded'] is True

@@ -107,3 +107,19 @@ def test_real360_trains_unbounded(tmp_path):
     rays, pixels = next(system.batcher)
     state, aux = system.train_step(state, rays, pixels, jax.random.PRNGKey(0))
     assert np.isfinite(float(aux['loss']))
+
+
+def test_llff_sphere_capture_roundtrip(tmp_path):
+    """The synthetic LLFF capture (data/synthetic.py) loads through
+    RealData360 with finite geometry and non-trivial image content."""
+    from mipnerf_pl_tpu.data.synthetic import make_llff_sphere_capture
+
+    root = make_llff_sphere_capture(str(tmp_path / 'cap'), n_images=9,
+                                    size=16, scene='spheres')
+    ds = RealData360(root, split='train', batch_type='all_images', factor=1)
+    assert np.all(np.isfinite(ds.rays.origins))
+    np.testing.assert_allclose(
+        np.linalg.norm(ds.rays.viewdirs, axis=-1), 1.0, atol=1e-5)
+    imgs = ds.images.reshape(-1, 3)
+    assert imgs.max() > 0.2           # spheres rendered, not blank
+    assert imgs.min() < 0.1           # black background kept

@@ -50,6 +50,11 @@ def main():
     p.add_argument('--size', type=int, default=256,
                    help='synthetic scene resolution (ignored with '
                         '--blender_scene)')
+    p.add_argument('--scene', default='spheres', choices=['spheres', 'hard'],
+                   help="built-in synthetic scene: 'spheres' (easy, "
+                        "saturates ~45 PSNR) or 'hard' (textured, "
+                        "aliasing-prone — the regime the BASELINE targets "
+                        "live in)")
     p.add_argument('--n_down', type=int, default=4,
                    help='multi-scale pyramid levels (= eval scale buckets)')
     p.add_argument('--val_interval', type=int, default=10000)
@@ -64,13 +69,13 @@ def main():
     if scene_dir is None:
         sys.path.insert(0, REPO)
         from mipnerf_pl_tpu.data.synthetic import make_sphere_scene
-        scene_dir = os.path.join(args.out, 'scene_src', 'spheres')
+        scene_dir = os.path.join(args.out, 'scene_src', args.scene)
         if not os.path.exists(os.path.join(scene_dir,
                                            'transforms_test.json')):
-            print(f'generating synthetic sphere scene at {args.size}px',
-                  flush=True)
+            print(f'generating synthetic {args.scene!r} scene at '
+                  f'{args.size}px', flush=True)
             make_sphere_scene(scene_dir, n_train=48, n_val=4, n_test=8,
-                              size=args.size)
+                              size=args.size, scene=args.scene)
     scene_name = os.path.basename(scene_dir.rstrip('/'))
     blender_root = os.path.dirname(scene_dir.rstrip('/'))
 

@@ -29,8 +29,11 @@ def main(hparams):
     # Single jax PRNG seed replaces the reference's torch/cuda/np/random
     # seeding (train.py:24-29) — strictly stronger determinism: every random
     # draw threads from jax.random.PRNGKey(seed).
+    from mipnerf_pl_tpu.compile_cache import enable_compilation_cache
     from mipnerf_pl_tpu.parallel.mesh import maybe_initialize_distributed
     from mipnerf_pl_tpu.train.system import MipNeRFSystem
+
+    enable_compilation_cache()
 
     # Pod scale: when parallel.multi_host is set, join the jax.distributed
     # cluster BEFORE any backend use so the mesh spans all hosts' chips.
