@@ -56,13 +56,11 @@ def _ensure_backend():
     """The tunneled TPU plugin occasionally fails to claim its grant right
     after another process released it; re-exec once or twice to retry."""
     try:
+        # Importing the package re-asserts the caller's JAX_PLATFORMS env
+        # selection over the sitecustomize plugin's live-config override
+        # (mipnerf_pl_tpu.__init__._respect_env_platform).
+        import mipnerf_pl_tpu  # noqa: F401
         import jax
-        # The image's sitecustomize re-exports JAX_PLATFORMS=axon at
-        # interpreter startup; make the caller's env selection (e.g.
-        # JAX_PLATFORMS=cpu smoke runs) authoritative again.
-        plats = os.environ.get('JAX_PLATFORMS')
-        if plats:
-            jax.config.update('jax_platforms', plats)
         jax.devices()
         return
     except RuntimeError:
@@ -161,30 +159,38 @@ def _run(hparams):
 
 def _run_child(backend: str, timeout: float):
     """Run one measurement child; return its parsed JSON line or None."""
+    def parse_lines(stdout):
+        result = None
+        for line in (stdout or '').splitlines():
+            line = line.strip()
+            if line.startswith('{'):
+                try:
+                    result = json.loads(line)
+                except json.JSONDecodeError:
+                    pass
+            elif line:
+                print(f'# child[{backend}]: {line}', file=sys.stderr)
+        return result
+
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--child', backend],
             capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired as e:
-        for s in (e.stderr, e.stdout):
-            if s:
-                sys.stderr.write(s if isinstance(s, str) else s.decode())
+        stderr = e.stderr if isinstance(e.stderr, str) else \
+            (e.stderr or b'').decode()
+        stdout = e.stdout if isinstance(e.stdout, str) else \
+            (e.stdout or b'').decode()
+        sys.stderr.write(stderr)
         print(f'# bench child {backend!r} hit the {timeout:.0f}s deadline; '
               'killed', file=sys.stderr, flush=True)
-        return None
+        # The measurement may have landed before the hang (the tunnel is
+        # known to stall in teardown): salvage any JSON the child printed.
+        return parse_lines(stdout)
     if proc.stderr:
         sys.stderr.write(proc.stderr)
         sys.stderr.flush()
-    result = None
-    for line in proc.stdout.splitlines():
-        line = line.strip()
-        if line.startswith('{'):
-            try:
-                result = json.loads(line)
-            except json.JSONDecodeError:
-                pass
-        elif line:
-            print(f'# child[{backend}]: {line}', file=sys.stderr)
+    result = parse_lines(proc.stdout)
     if proc.returncode != 0:
         print(f'# bench child {backend!r} exited rc={proc.returncode}',
               file=sys.stderr, flush=True)

@@ -77,17 +77,9 @@ def _camera_dirs(c2w: np.ndarray, size: int,
     return cam_dirs @ c2w[:3, :3].T, c2w[:3, 3]
 
 
-def render_sphere_view(c2w: np.ndarray, size: int,
-                       spheres: Optional[Sequence] = None,
-                       focal: Optional[float] = None) -> np.ndarray:
-    """Analytically ray-trace shaded spheres: returns [H, W, 4] RGBA.
-
-    Sphere entries are (center, radius, color) for flat shading or
-    (center, radius, color, texture_kind, texture_freq) for textured.
-    """
-    spheres = DEFAULT_SPHERES if spheres is None else spheres
-    dirs, o = _camera_dirs(c2w, size, focal)
-
+def _trace_spheres(dirs: np.ndarray, o: np.ndarray, spheres: Sequence,
+                   size: int):
+    """Shared sphere ray-tracer: returns ([H, W, 4] RGBA, [H, W] tmin)."""
     rgba = np.zeros((size, size, 4), np.float32)
     tmin = np.full((size, size), np.inf)
     light = np.array([0.5, 0.5, 0.7])
@@ -109,7 +101,21 @@ def render_sphere_view(c2w: np.ndarray, size: int,
         for k in range(3):
             rgba[..., k] = np.where(closer, col[k] * shade, rgba[..., k])
         rgba[..., 3] = np.where(closer, 1.0, rgba[..., 3])
-    return np.clip(rgba, 0, 1)
+    return np.clip(rgba, 0, 1), tmin
+
+
+def render_sphere_view(c2w: np.ndarray, size: int,
+                       spheres: Optional[Sequence] = None,
+                       focal: Optional[float] = None) -> np.ndarray:
+    """Analytically ray-trace shaded spheres: returns [H, W, 4] RGBA.
+
+    Sphere entries are (center, radius, color) for flat shading or
+    (center, radius, color, texture_kind, texture_freq) for textured.
+    """
+    spheres = DEFAULT_SPHERES if spheres is None else spheres
+    dirs, o = _camera_dirs(c2w, size, focal)
+    rgba, _ = _trace_spheres(dirs, o, spheres, size)
+    return rgba
 
 
 def render_hard_view(c2w: np.ndarray, size: int, supersample: int = 2,
@@ -117,25 +123,19 @@ def render_hard_view(c2w: np.ndarray, size: int, supersample: int = 2,
     """Ray-trace the 'hard' scene (textured spheres + checkered ground disk)
     at `supersample`x resolution, box-downsampled to [size, size, 4] —
     anti-aliased ground truth, the analog of a real renderer's pixel
-    sampling."""
+    sampling.  Returns STRAIGHT (non-premultiplied) RGBA: the box average
+    of hit/miss subpixels is premultiplied color, which must be divided by
+    the averaged alpha before a downstream `rgb * a + (1 - a) * bkgd`
+    composite (data/datasets.py) — otherwise every silhouette pixel is
+    alpha-attenuated twice and no 3-D-consistent radiance field can fit it."""
     ss = max(1, int(supersample))
     hi = size * ss
     f_hi = (focal * ss) if focal else None
-    rgba = render_sphere_view(c2w, hi, spheres=HARD_SPHERES, focal=f_hi)
+    dirs, o = _camera_dirs(c2w, hi, f_hi)
+    rgba, tmin = _trace_spheres(dirs, o, HARD_SPHERES, hi)
 
     # Ground disk (z = const), textured; composited where nearer than the
-    # nearest sphere hit.  Re-trace sphere tmin to depth-test the plane.
-    dirs, o = _camera_dirs(c2w, hi, f_hi)
-    tmin = np.full((hi, hi), np.inf)
-    for c, r, _, _, _ in HARD_SPHERES:
-        oc = o - c
-        b = np.sum(dirs * oc, -1)
-        dd = np.sum(dirs * dirs, -1)
-        disc = b * b - dd * (np.dot(oc, oc) - r * r)
-        t = (-b - np.sqrt(np.maximum(disc, 0))) / dd
-        closer = (disc > 0) & (t > 0) & (t < tmin)
-        tmin = np.where(closer, t, tmin)
-
+    # nearest sphere hit (tmin from the shared tracer).
     z0, disk_r, g_col, g_kind, g_freq = HARD_GROUND
     dz = dirs[..., 2]
     with np.errstate(divide='ignore', invalid='ignore'):
@@ -151,6 +151,11 @@ def render_hard_view(c2w: np.ndarray, size: int, supersample: int = 2,
 
     if ss > 1:
         rgba = rgba.reshape(size, ss, size, ss, 4).mean(axis=(1, 3))
+        # Un-premultiply: averaged rgb already carries the alpha weighting.
+        a = rgba[..., 3:]
+        rgba = np.concatenate(
+            [np.where(a > 1e-8, rgba[..., :3] / np.maximum(a, 1e-8), 0.0), a],
+            axis=-1)
     return rgba.astype(np.float32)
 
 

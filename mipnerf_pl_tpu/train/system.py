@@ -125,10 +125,14 @@ class MipNeRFSystem:
         # Device count: num_devices wins; otherwise honor the reference's
         # `num_gpus` key (reference configs/lego.yaml:2 carries it, so a
         # reference-style config with num_gpus: 2 must use 2 chips, not
-        # silently all of them).  0/unset on both = all visible chips.
+        # silently all of them).  num_gpus of 0/1 means "unset" — 1 was the
+        # long-standing compat default and is baked into every pre-round-3
+        # checkpoint's hparams.json, so treating it as a device count would
+        # silently shrink eval/render of old checkpoints to one device.
+        # Use num_devices: 1 to genuinely pin a single chip.
         num_devices = int(hparams.get('num_devices', 0) or 0)
-        if num_devices <= 0:
-            num_devices = int(hparams.get('num_gpus', 0) or 0)
+        if num_devices <= 0 and int(hparams.get('num_gpus', 0) or 0) > 1:
+            num_devices = int(hparams['num_gpus'])
         self.mesh = mesh if mesh is not None else create_mesh(
             num_devices, model_axis=self.model_axis)
         self.batch_sharding = batch_sharding(self.mesh)

@@ -85,6 +85,10 @@ def test_num_gpus_honored_as_device_count():
     # ...and num_devices wins when both are set.
     hp3 = tiny_hparams(**{'num_gpus': 2, 'num_devices': 4})
     assert MipNeRFSystem(hp3).mesh.devices.size == 4
+    # num_gpus: 1 means "unset" (the pre-round-3 compat default baked into
+    # old checkpoints' hparams.json) — old ckpts keep using all devices.
+    hp4 = tiny_hparams(**{'num_gpus': 1})
+    assert MipNeRFSystem(hp4).mesh.devices.size == 8
 
 
 def test_real360_yaml_loads():

@@ -192,6 +192,17 @@ def test_hard_scene_synthesis(tmp_path):
     ss2 = render_hard_view(c2w, 64, supersample=2)[..., :3]
     assert np.abs(ss2 - ref).mean() < np.abs(ss1 - ref).mean()
 
+    # Straight-alpha invariant: compositing onto white then box-downsampling
+    # must equal downsampling (render_hard_view's un-premultiplied output)
+    # then compositing — i.e. the alpha weighting is not applied twice at
+    # silhouette pixels.
+    hi = render_hard_view(c2w, 128, supersample=1)
+    comp_hi = hi[..., :3] * hi[..., 3:] + (1.0 - hi[..., 3:])
+    comp_then_down = comp_hi.reshape(64, 2, 64, 2, 3).mean((1, 3))
+    lo = render_hard_view(c2w, 64, supersample=2)
+    down_then_comp = lo[..., :3] * lo[..., 3:] + (1.0 - lo[..., 3:])
+    np.testing.assert_allclose(down_then_comp, comp_then_down, atol=1e-5)
+
 
 def test_blender_factor2_downsample(blender_root):
     """factor=2 half-resolution path (cv2 INTER_AREA) keeps ray geometry."""

@@ -53,7 +53,10 @@ def main():
     p.add_argument('--out', required=True)
     p.add_argument('--steps', type=int, default=20000)
     p.add_argument('--size', type=int, default=256)
-    p.add_argument('--n_down', type=int, default=4)
+    p.add_argument('--n_down', type=int, default=4, choices=[1, 2, 4],
+                   help='pyramid levels; must be an eval.py --scale choice '
+                        '(validated HERE so a bad value cannot burn hours '
+                        'of training before the eval stage rejects it)')
     p.add_argument('--skip_train', nargs='*', default=[],
                    help='variant names to reuse existing checkpoints for')
     p.add_argument('opts', nargs=argparse.REMAINDER,
