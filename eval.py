@@ -63,7 +63,8 @@ def main(args):
     system.white_bkgd = bool(args.white_bkgd)
     _, state = restore_for_eval(args.ckpt, system.abstract_state())
 
-    test_dataset = dataset_dict[args.dataset_name or hparams['dataset_name']](
+    dataset_name = getattr(args, 'dataset_name', None)
+    test_dataset = dataset_dict[dataset_name or hparams['dataset_name']](
         data_dir=args.data, split='test',
         white_bkgd=hparams['val.white_bkgd'],
         batch_type=hparams['val.batch_type'])

@@ -569,10 +569,19 @@ class MipNeRFSystem:
                 # Cycle through val images across validations (reference
                 # behaviour: the val dataset advances an internal counter,
                 # datasets/datasets.py:79-81).
-                _, val_psnr = self.validate(
+                val_loss, val_psnr = self.validate(
                     state, val_sample_num, writer=writer,
                     global_step=step, start_index=val_cursor)
                 val_cursor += val_sample_num
+                # Machine-readable val trajectory next to the TB events —
+                # convergence/plateau evidence without a TB reader.
+                hist = os.path.join(out_dir, 'logs', exp_name,
+                                    'val_history.csv')
+                write_header = not os.path.exists(hist)
+                with open(hist, 'a') as f:
+                    if write_header:
+                        f.write('step,val_loss,val_psnr\n')
+                    f.write(f'{step},{val_loss:.6f},{val_psnr:.4f}\n')
                 prof.add('validate', time.time() - t_val)
                 t_ckpt = time.time()
                 host_state = jax.device_get(state)

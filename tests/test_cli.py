@@ -33,7 +33,7 @@ def test_eval_cli(trained):
     args = argparse.Namespace(
         ckpt=ckpt_dir, data=scene, out_dir=os.path.join(root, 'eval'),
         chunk_size=64, white_bkgd=True, save_image=True, summa_only=False,
-        scale=1, base_size=[8, 8], no_video=True)
+        scale=1, base_size=[8, 8], no_video=True, dataset_name=None)
     scenes = eval_cli.main(args)
     assert scenes == ['test']
     exp_dir = os.path.join(root, 'eval', 'test', 'test')

@@ -145,6 +145,14 @@ def main():
         f'`summarize_results` line: `{summary}`',
         '',
     ]
+    # Validation trajectory (written by the fit loop): plateau evidence.
+    hist = os.path.join(args.out, 'logs', exp_name, 'val_history.csv')
+    if os.path.exists(hist):
+        rows = [l.strip().split(',') for l in open(hist)][1:]
+        lines += ['## Validation trajectory', '',
+                  '| step | val PSNR |', '|---|---|']
+        lines += [f'| {r[0]} | {float(r[2]):.2f} |' for r in rows]
+        lines.append('')
     report = '\n'.join(lines)
     out_md = os.path.join(args.out, 'ACCEPTANCE.md')
     with open(out_md, 'w') as f:
