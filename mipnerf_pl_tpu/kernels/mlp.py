@@ -612,7 +612,12 @@ fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 # streams at only ~270 GB/s, and XLA pads every narrow per-point tensor to
 # 128 lanes (f32[M, 3] occupies 201 MB physically).  So the boundary, not
 # the MXU, is where this kernel family loses time.  Lean mode cuts it down:
-#   * encode input arrives in the compute dtype (bf16 halves the stream);
+#   * encode input arrives in the PRODUCER's dtype (f32) and each tile is
+#     cast to the compute dtype on VMEM load: the convert is free VPU work
+#     under the DMA/MXU overlap, whereas a caller-side bf16 cast makes XLA
+#     materialize a packed-(2,1) bf16 copy of the whole [M, F] encode in
+#     HBM (a standalone convert+repack fusion, 3.3 ms/step for two levels
+#     at the lego shape — it does NOT fuse into the encode epilogue);
 #   * view features stay PER-RAY ([R, Fv], ~2 MB) — the kernel runs the
 #     view half of view_0 at R rows and broadcasts per ray, instead of
 #     streaming a lane-padded [M, Fv] repeat (201 MB physical);
@@ -1473,8 +1478,9 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
                    net_depth_condition: int, skip_index: int,
                    compute_dtype=jnp.bfloat16, interpret=None,
                    mode: str = 'recompute', act=None):
-    """Lean megakernel: (x [M, F] compute dtype, view [M/num_samples, Fv],
-    params) -> (rgb [M, 3], density [M, nd]) f32.
+    """Lean megakernel: (x [M, F] any float dtype — cast to the compute
+    dtype per tile in VMEM, view [M/num_samples, Fv], params)
+    -> (rgb [M, 3], density [M, nd]) f32.
 
     The underlying pallas_call writes ONE packed [M, 3 + nd] output (a
     single lane-padded row stream); the rgb/density slices returned here

@@ -204,10 +204,11 @@ class MLP(nn.Module):
         return flat
 
     def _call_pallas_lean(self, x, view_direction):
-        """Lean megakernel (kernels/mlp.py:fused_mlp_lean): bf16 encode
-        input, per-ray view features (the kernel broadcasts them), one
-        packed output, parameter gradients only.  Parameter tree identical
-        to every other backend."""
+        """Lean megakernel (kernels/mlp.py:fused_mlp_lean): f32 encode
+        input cast to the compute dtype in-VMEM, per-ray view features
+        (the kernel broadcasts them), one packed output, parameter
+        gradients only.  Parameter tree identical to every other
+        backend."""
         from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
 
         # Raises (not asserts): these preconditions must survive `python -O`
@@ -223,9 +224,15 @@ class MLP(nn.Module):
         flat = self._declare_flat_params(xyz_dim, view_direction.shape[-1])
 
         lead = x.shape[:-1]
-        # Cast in XLA, where it fuses into the encode epilogue for free —
-        # halves the kernel's input stream when compute dtype is bf16.
-        x2 = x.reshape(-1, xyz_dim).astype(self.compute_dtype)
+        # The encode output enters the kernel in ITS OWN dtype (f32): the
+        # kernel casts each tile to the compute dtype on VMEM load, where
+        # the VPU convert is fully overlapped.  Casting here instead makes
+        # XLA materialize a bf16 copy of the [M, F] encode in HBM — the
+        # cast does NOT fuse into the encode epilogue because the Mosaic
+        # operand's packed (2,1) tiling forces a standalone convert+repack
+        # fusion (profiled at 3.3 ms/step for two levels at the lego
+        # shape, tools/xplane_summary.py on a --profile trace).
+        x2 = x.reshape(-1, xyz_dim)
         view2 = view_direction.reshape(-1, view_direction.shape[-1])
         mode = {'pallas_lean_save': 'save',
                 'pallas_hybrid': 'hybrid'}.get(self.backend, 'recompute')
@@ -260,7 +267,8 @@ class MLP(nn.Module):
         xyz_dim = x.shape[-1]
         flat = self._declare_flat_params(xyz_dim, view_direction.shape[-1])
         lead = x.shape[:-2]
-        x2 = x.reshape(-1, xyz_dim).astype(self.compute_dtype)
+        # f32 in; the kernel casts per tile in VMEM (see _call_pallas_lean).
+        x2 = x.reshape(-1, xyz_dim)
         view2 = view_direction.reshape(-1, view_direction.shape[-1])
         d2 = delta.reshape(-1, 1)
         m2 = mids.reshape(-1, 1)
