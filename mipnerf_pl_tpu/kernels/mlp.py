@@ -424,6 +424,21 @@ def _pad_rows(a, m_padded):
         [a, jnp.zeros((m_padded - m, a.shape[1]), a.dtype)], axis=0)
 
 
+def _pad_cols(a, n_padded):
+    """Column twin of _pad_rows for channel-major [c, M] streams."""
+    n = a.shape[1]
+    if n == n_padded:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((a.shape[0], n_padded - n), a.dtype)], axis=1)
+
+
+def _cmajor_spec(channels, tile):
+    """BlockSpec for a channel-major [c, M] stream tiled along M."""
+    return pl.BlockSpec((channels, tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
 def _run_fwd(x, view, flat_params, cfg, interpret):
     M = x.shape[0]
     Mp = ((M + _ROW_TILE - 1) // _ROW_TILE) * _ROW_TILE
@@ -659,6 +674,15 @@ def _fwd_body_lean(x, view_ray, params, cfg):
         k, b = params[2 * i], params[2 * i + 1]
         return jnp.dot(h, k, preferred_element_type=f32) + b.astype(f32)
 
+    def dense_t(h, i):
+        # Channel-major head: emit [width, T] DIRECTLY as k^T h^T — one
+        # dot_general with swapped contraction, no in-VMEM transpose.
+        k, b = params[2 * i], params[2 * i + 1]
+        return (jax.lax.dot_general(k, h, (((0,), (1,)), ((), ())),
+                                    preferred_element_type=f32)
+                + b.astype(f32).reshape(-1, 1))
+
+    head = dense_t if cfg.get('cmajor') else dense
     hs = []
     h = x
     for i in range(net_depth):
@@ -666,7 +690,7 @@ def _fwd_body_lean(x, view_ray, params, cfg):
         hs.append(h)
         if i % skip == 0 and i > 0:
             h = jnp.concatenate([h, x], axis=-1)
-    density = dense(h, net_depth)
+    density = head(h, net_depth)
     bottleneck = dense(h, net_depth + 1).astype(dtype)
 
     # view_0 as split matmuls: the view half runs at R rows (= T/N) and is
@@ -683,7 +707,7 @@ def _fwd_body_lean(x, view_ray, params, cfg):
     for j in range(1, nvd):
         y = jnp.maximum(dense(y, net_depth + 2 + j), 0.0).astype(dtype)
         ys.append(y)
-    rgb = dense(y, net_depth + 2 + nvd)
+    rgb = head(y, net_depth + 2 + nvd)
     if cfg.get('act') is not None:
         rgb, density = _lean_apply_act(rgb, density, cfg['act'])
     return rgb, density, hs, ys, bottleneck
@@ -695,7 +719,9 @@ def _fwd_kernel_lean(x_ref, view_ref, *refs, cfg):
     out_ref = refs[n_params]
     x = x_ref[:].astype(cfg['dtype'])
     rgb, density, _, _, _ = _fwd_body_lean(x, view_ref[:], params, cfg)
-    out_ref[:] = jnp.concatenate([rgb, density], axis=-1)
+    # cmajor: heads come out [c, T] (dense_t) and pack on the channel axis.
+    out_ref[:] = jnp.concatenate([rgb, density],
+                                 axis=0 if cfg.get('cmajor') else -1)
 
 
 def _lean_param_grads(x, vr, g_rgb, g_dens, hs, ys, bottleneck, params,
@@ -712,24 +738,33 @@ def _lean_param_grads(x, vr, g_rgb, g_dens, hs, ys, bottleneck, params,
     dtype = cfg['dtype']
     f32 = jnp.float32
 
+    cm = bool(cfg.get('cmajor'))
+
     if cfg.get('act') is not None:
         # Fold the head-activation derivatives into the cotangents.  The
         # raw head outputs are recomputed here from the saved/recomputed
         # activations (two tiny [T, W]x[W, 3|1] matmuls) instead of being
         # streamed — d sigmoid = s(1-s), d softplus(z+b) = sigmoid(z+b).
+        # Channel-major: cotangents arrive [c, T], so recompute the raw
+        # heads transposed (k^T t^T as one dot_general) and fold in place.
         pad, bias = cfg['act']
-        i_rgb = 2 * (cfg['net_depth'] + 2 + nvd)
-        raw_rgb = jnp.dot(ys[-1], params[i_rgb],
-                          preferred_element_type=f32) \
-            + params[i_rgb + 1].astype(f32)
+
+        def head_raw(t, idx):
+            k, b = params[2 * idx], params[2 * idx + 1]
+            if cm:
+                return (jax.lax.dot_general(
+                    k, t, (((0,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                    + b.astype(f32).reshape(-1, 1))
+            return jnp.dot(t, k, preferred_element_type=f32) + b.astype(f32)
+
+        raw_rgb = head_raw(ys[-1], net_depth + 2 + nvd)
         sig = jax.nn.sigmoid(raw_rgb)
         g_rgb = g_rgb * ((1.0 + 2.0 * pad) * sig * (1.0 - sig))
         h_last = hs[-1]
         if (net_depth - 1) % skip == 0 and net_depth - 1 > 0:
             h_last = jnp.concatenate([h_last, x], axis=-1)
-        raw_d = jnp.dot(h_last, params[2 * net_depth],
-                        preferred_element_type=f32) \
-            + params[2 * net_depth + 1].astype(f32)
+        raw_d = head_raw(h_last, net_depth)
         g_dens = g_dens * jax.nn.sigmoid(raw_d + bias)
 
     first = pl.program_id(0) == 0
@@ -744,28 +779,32 @@ def _lean_param_grads(x, vr, g_rgb, g_dens, hs, ys, bottleneck, params,
         zero_init(br)
         br[:] += db.reshape(1, -1)
 
-    def d_dense(idx, parts, g_out, need):
+    def d_dense(idx, parts, g_out, need, g_cm=False):
         """parts: list of layer-input tensors (concat layout); need[i]: emit
-        d(part_i).  dW/db always accumulate."""
+        d(part_i).  dW/db always accumulate.  `g_cm`: g_out is channel-major
+        [width, T] (head layers under the channel-major boundary) — the
+        contraction axes swap, every result keeps the row-major layout."""
         k, kr = params[2 * idx], dparam_refs[2 * idx]
         gb = g_out.astype(dtype)
         zero_init(kr)
-        accum_bias(idx, jnp.sum(g_out, axis=0))
+        accum_bias(idx, jnp.sum(g_out, axis=1 if g_cm else 0))
         gparts = []
         off = 0
         for t, n in zip(parts, need):
             w = t.shape[-1]
             kr[off:off + w, :] += jax.lax.dot_general(
-                t, gb, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+                t, gb, (((0,), (1 if g_cm else 0)), ((), ())),
+                preferred_element_type=f32)
             if n:
                 gparts.append(jax.lax.dot_general(
-                    gb, k[off:off + w], (((1,), (1,)), ((), ())),
+                    gb, k[off:off + w],
+                    (((0 if g_cm else 1,), (1,)), ((), ())),
                     preferred_element_type=f32))
             off += w
         return gparts
 
     # rgb head and view layers j >= 1
-    g = d_dense(net_depth + 2 + nvd, [ys[-1]], g_rgb, [True])[0]
+    g = d_dense(net_depth + 2 + nvd, [ys[-1]], g_rgb, [True], cm)[0]
     for j in reversed(range(1, nvd)):
         g = jnp.where(ys[j].astype(f32) > 0.0, g, 0.0)
         g = d_dense(net_depth + 2 + j, [ys[j - 1]], g, [True])[0]
@@ -798,7 +837,7 @@ def _lean_param_grads(x, vr, g_rgb, g_dens, hs, ys, bottleneck, params,
         trunk_parts.append(x)
         trunk_need.append(False)
     g_trunk = d_dense(net_depth + 1, trunk_parts, g_bott, trunk_need)[0]
-    g_trunk += d_dense(net_depth, trunk_parts, g_dens, trunk_need)[0]
+    g_trunk += d_dense(net_depth, trunk_parts, g_dens, trunk_need, cm)[0]
 
     # g_trunk is always [T, W]: d_dense returns only the hs-part gradient
     # (the x halves of skip concats are need=False everywhere — the encoded
@@ -842,7 +881,8 @@ def _fwd_kernel_lean_save(x_ref, view_ref, *refs, cfg):
     x = x_ref[:].astype(cfg['dtype'])
     rgb, density, hs, ys, bottleneck = _fwd_body_lean(
         x, view_ref[:], params, cfg)
-    out_ref[:] = jnp.concatenate([rgb, density], axis=-1)
+    out_ref[:] = jnp.concatenate([rgb, density],
+                                 axis=0 if cfg.get('cmajor') else -1)
     saved_ref[:] = jnp.concatenate(hs + [bottleneck] + ys, axis=-1)
 
 
@@ -961,8 +1001,19 @@ def _run_bwd_lean_common(x, view, g_rgb, g_dens, extra, kernel_body, T, cfg,
     Mp = ((M + T - 1) // T) * T
     x = _pad_rows(x, Mp)
     view = _pad_rows(view, Mp // N)
-    g_rgb = _pad_rows(g_rgb, Mp)
-    g_dens = _pad_rows(g_dens, Mp)
+    cm = bool(cfg.get('cmajor'))
+    if cm:
+        # Channel-major cotangents [c, M]: ~6 MB physical per level instead
+        # of the lane-padded 201 MB of a [M, 3] stream.
+        g_rgb = _pad_cols(g_rgb, Mp)
+        g_dens = _pad_cols(g_dens, Mp)
+        g_specs = [_cmajor_spec(g_rgb.shape[0], T),
+                   _cmajor_spec(g_dens.shape[0], T)]
+    else:
+        g_rgb = _pad_rows(g_rgb, Mp)
+        g_dens = _pad_rows(g_dens, Mp)
+        g_specs = [_tile_spec_t(g_rgb.shape[1], T),
+                   _tile_spec_t(g_dens.shape[1], T)]
     extra = [s if s.shape[0] == Mp else _pad_rows(s[:M], Mp) for s in extra]
     kernel = functools.partial(kernel_body, cfg=cfg)
     dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
@@ -976,9 +1027,8 @@ def _run_bwd_lean_common(x, view, g_rgb, g_dens, extra, kernel_body, T, cfg,
         out_shape=tuple(dparam_shapes),
         grid=(Mp // T,),
         in_specs=([_tile_spec_t(x.shape[1], T),
-                   _tile_spec_t(view.shape[1], T // N),
-                   _tile_spec_t(g_rgb.shape[1], T),
-                   _tile_spec_t(g_dens.shape[1], T)]
+                   _tile_spec_t(view.shape[1], T // N)]
+                  + g_specs
                   + [_tile_spec_t(s.shape[1], T) for s in extra]
                   + [_full_spec() for _ in flat_params]),
         out_specs=tuple(dparam_specs),
@@ -1018,20 +1068,23 @@ def _run_fwd_lean_save(x, view, flat_params, cfg, interpret):
     saved_w = sum(_lean_saved_widths(cfg, flat_params))
     dtype = cfg['dtype']
     grid = (Mp // T,)
+    cm = bool(cfg.get('cmajor'))
     kernel = functools.partial(_fwd_kernel_lean_save, cfg=cfg)
     out, saved = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((Mp, pack), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((pack, Mp) if cm else (Mp, pack),
+                                        jnp.float32),
                    jax.ShapeDtypeStruct((Mp, saved_w), dtype)),
         grid=grid,
         in_specs=([_tile_spec_t(x.shape[1], T),
                    _tile_spec_t(view.shape[1], T // N)]
                   + [_full_spec() for _ in flat_params]),
-        out_specs=(_tile_spec_t(pack, T), _tile_spec_t(saved_w, T)),
+        out_specs=(_cmajor_spec(pack, T) if cm else _tile_spec_t(pack, T),
+                   _tile_spec_t(saved_w, T)),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
     )(x, view, *flat_params)
-    return out[:M], saved   # saved stays row-padded
+    return (out[:, :M] if cm else out[:M]), saved   # saved stays row-padded
 
 
 def _run_bwd_lean_save(x, view, g_rgb, g_dens, saved, flat_params, cfg,
@@ -1052,19 +1105,21 @@ def _run_fwd_lean(x, view, flat_params, cfg, interpret):
     nd = flat_params[2 * cfg['net_depth']].shape[1]
     pack = 3 + nd
     grid = (Mp // T,)
+    cm = bool(cfg.get('cmajor'))
     kernel = functools.partial(_fwd_kernel_lean, cfg=cfg)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Mp, pack), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pack, Mp) if cm else (Mp, pack),
+                                       jnp.float32),
         grid=grid,
         in_specs=([_tile_spec_t(x.shape[1], T),
                    _tile_spec_t(view.shape[1], T // N)]
                   + [_full_spec() for _ in flat_params]),
-        out_specs=_tile_spec_t(pack, T),
+        out_specs=_cmajor_spec(pack, T) if cm else _tile_spec_t(pack, T),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
     )(x, view, *flat_params)
-    return out[:M]
+    return out[:, :M] if cm else out[:M]
 
 
 def _run_bwd_lean(x, view, g_rgb, g_dens, flat_params, cfg, interpret):
@@ -1464,20 +1519,22 @@ fused_mlp_lean_render.defvjp(_fused_mlp_lean_render_fwd,
 
 
 def _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-              compute_dtype, num_samples, act=None):
+              compute_dtype, num_samples, act=None, cmajor=False):
     cfg = _cfg(net_depth, net_depth_condition, skip_index,
                flat_params[0].shape[1], len(flat_params), compute_dtype)
     cfg['num_samples'] = num_samples
     cfg['saved_widths'] = _lean_saved_widths(cfg, flat_params)
     cfg['act'] = act
+    cfg['cmajor'] = cmajor
     return cfg
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
                    net_depth_condition: int, skip_index: int,
                    compute_dtype=jnp.bfloat16, interpret=None,
-                   mode: str = 'recompute', act=None):
+                   mode: str = 'recompute', act=None, cmajor: bool = False):
     """Lean megakernel: (x [M, F] any float dtype — cast to the compute
     dtype per tile in VMEM, view [M/num_samples, Fv], params)
     -> (rgb [M, 3], density [M, nd]) f32.
@@ -1505,6 +1562,15 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
     materialize in HBM for free as autodiff residuals) + the zero-recompute
     Pallas backward streaming them per tile — removes the 'save' forward's
     explicit write cost entirely (fastest measured, DESIGN.md §10).
+
+    cmajor=True: CHANNEL-MAJOR boundary — returns (rgb [3, M], density
+    [nd, M]) and expects the cotangents in the same layout.  A [M, 3]
+    row-major stream is lane-padded to 128 by the TPU tiled layout (201 MB
+    physical for a 4.7 MB tensor at the lego shape); channel-major keeps
+    the head streams at their logical size.  The heads are computed
+    transposed on the MXU (dense_t) — no in-VMEM transposes anywhere.
+    Pallas modes only (the hybrid forward runs in XLA, which composites
+    row-major anyway).
     """
     if net_depth_condition < 1:
         # A real raise, not an assert: under `python -O` an assert would
@@ -1512,22 +1578,25 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
         raise ValueError('fused_mlp_lean requires net_depth_condition >= 1 '
                          '(the view branch); use the "xla" backend for '
                          'net_depth_condition == 0')
+    if cmajor and mode == 'hybrid':
+        raise ValueError("cmajor is a pallas-boundary layout; mode 'hybrid' "
+                         "runs its forward in XLA — use 'recompute'/'save'")
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples, act)
+                    compute_dtype, num_samples, act, cmajor)
     wparams = [p.astype(compute_dtype) for p in flat_params]
     if mode == 'hybrid':
         rgb, density, _, _, _ = _fwd_body_lean_xla(
             x.astype(compute_dtype), view, wparams, cfg)
         return rgb, density
     out = _run_fwd_lean(x, view, wparams, cfg, interpret)
-    return out[:, :3], out[:, 3:]
+    return (out[:3], out[3:]) if cmajor else (out[:, :3], out[:, 3:])
 
 
 def _fused_mlp_lean_fwd(x, view, flat_params, num_samples, net_depth,
                         net_depth_condition, skip_index, compute_dtype,
-                        interpret, mode, act):
+                        interpret, mode, act, cmajor):
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples, act)
+                    compute_dtype, num_samples, act, cmajor)
     wparams = [p.astype(compute_dtype) for p in flat_params]
     if mode == 'hybrid':
         rgb, density, hs, ys, bottleneck = _fwd_body_lean_xla(
@@ -1536,18 +1605,20 @@ def _fused_mlp_lean_fwd(x, view, flat_params, num_samples, net_depth,
                                 tuple(hs) + (bottleneck,) + tuple(ys))
     if mode == 'save':
         out, saved = _run_fwd_lean_save(x, view, wparams, cfg, interpret)
-        return (out[:, :3], out[:, 3:]), (x, view, flat_params, saved)
+        prim = (out[:3], out[3:]) if cmajor else (out[:, :3], out[:, 3:])
+        return prim, (x, view, flat_params, saved)
     out = _run_fwd_lean(x, view, wparams, cfg, interpret)
-    return (out[:, :3], out[:, 3:]), (x, view, flat_params, None)
+    prim = (out[:3], out[3:]) if cmajor else (out[:, :3], out[:, 3:])
+    return prim, (x, view, flat_params, None)
 
 
 def _fused_mlp_lean_bwd(num_samples, net_depth, net_depth_condition,
                         skip_index, compute_dtype, interpret, mode, act,
-                        res, g):
+                        cmajor, res, g):
     g_rgb, g_dens = g
     x, view, flat_params, saved = res
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples, act)
+                    compute_dtype, num_samples, act, cmajor)
     wparams = [p.astype(compute_dtype) for p in flat_params]
     if mode == 'hybrid':
         outs = _run_bwd_lean_hybrid(x.astype(compute_dtype), view, g_rgb,

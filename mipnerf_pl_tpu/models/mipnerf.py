@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from mipnerf_pl_tpu.models.mlp import MLP
 from mipnerf_pl_tpu.ops.math import (integrated_pos_enc,
                                      integrated_pos_enc_360, pos_enc)
-from mipnerf_pl_tpu.ops.render import volumetric_rendering
+from mipnerf_pl_tpu.ops.render import (volumetric_rendering,
+                                       volumetric_rendering_cmajor)
 from mipnerf_pl_tpu.ops.sampling import (resample_along_rays,
                                          resample_along_rays_360,
                                          sample_along_rays,
@@ -113,6 +114,15 @@ class MipNerf(nn.Module):
     # per-ray streams cost more in backward grid sync than the XLA
     # compositing cluster they replace); kept as an opt-in experiment.
     fuse_render: bool = False
+    # Channel-major head boundary for the lean backends: the kernel emits
+    # (rgb [3, B, N], density [1, B, N]) and compositing runs on full-lane
+    # [B, N] planes (ops/render.py volumetric_rendering_cmajor), so the
+    # [M, 3]/[M, 1] head and cotangent streams avoid the TPU's 128-lane
+    # padding (201 MB physical per 4.7 MB tensor at the lego shape).
+    # Engages only when the lean fused-activation path does (silently
+    # inert otherwise, like fused_activation itself — the XLA render twin
+    # rebuilds this model with mlp_backend='xla').
+    channel_major: bool = False
 
     def setup(self):
         if (self.mlp_backend in ('pallas_lean', 'pallas_lean_save',
@@ -152,6 +162,13 @@ class MipNerf(nn.Module):
             and self.mlp_backend in ('pallas_lean', 'pallas_lean_save')
             and self.mlp_num_rgb_channels == 3
             and self.mlp_num_density_channels == 1)
+        self._cmajor = (
+            self.channel_major
+            and not self._fused_render   # render fusion has no head streams
+            and self._fused_act
+            and self.mlp_backend in ('pallas_lean', 'pallas_lean_save')
+            and self.mlp_num_rgb_channels == 3
+            and self.mlp_num_density_channels == 1)
         mlp_cls = nn.remat(MLP) if self.remat == 'mlp' else MLP
         self.mlp = mlp_cls(
             fused_activation=((float(self.rgb_padding),
@@ -167,6 +184,7 @@ class MipNerf(nn.Module):
             net_activation=self.mlp_net_activation,
             compute_dtype=self.compute_dtype,
             backend=self.mlp_backend,
+            channel_major=self._cmajor,
         )
 
     def _rgb_act(self, x):
@@ -283,8 +301,16 @@ class MipNerf(nn.Module):
                 rgb = self._rgb_act(raw_rgb)
                 rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
                 density = self._density_act(raw_density + self.density_bias)
-            comp_rgb, distance, acc, weights = volumetric_rendering(
-                rgb, density, t_render, rays.directions, white_bkgd=white_bkgd)
+            if self._cmajor:
+                # rgb [3, B, N], density [1, B, N] — full-lane compositing.
+                comp_rgb, distance, acc, weights = \
+                    volumetric_rendering_cmajor(
+                        rgb, density[0], t_render, rays.directions,
+                        white_bkgd=white_bkgd)
+            else:
+                comp_rgb, distance, acc, weights = volumetric_rendering(
+                    rgb, density, t_render, rays.directions,
+                    white_bkgd=white_bkgd)
             ret.append(LevelOutput(comp_rgb, distance, acc, weights, t_samples))
 
         return tuple(ret)
@@ -325,4 +351,5 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         ipe_backend=str(hparams.get('nerf.ipe_backend', 'xla')),
         mlp_backend=str(hparams.get('nerf.mlp_backend', 'xla')),
         fuse_render=bool(hparams.get('nerf.fuse_render', False)),
+        channel_major=bool(hparams.get('nerf.channel_major', False)),
     )

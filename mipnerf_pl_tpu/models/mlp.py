@@ -67,6 +67,12 @@ class MLP(nn.Module):
     # activations are the defaults and density_noise == 0); None = return
     # raw heads.  Only honored by the lean backends.
     fused_activation: Optional[tuple] = None
+    # Channel-major head boundary (set by MipNerf): the lean kernel returns
+    # (rgb [3, B, N], density [nd, B, N]) so the head streams avoid the
+    # [M, 3] lane-padded layout (kernels/mlp.py fused_mlp_lean cmajor).
+    # Callers must composite channel-major (ops/render.py
+    # volumetric_rendering_cmajor).  Lean pallas backends only.
+    channel_major: bool = False
 
     def _act(self, x):
         if self.net_activation == 'relu':
@@ -236,6 +242,16 @@ class MLP(nn.Module):
         view2 = view_direction.reshape(-1, view_direction.shape[-1])
         mode = {'pallas_lean_save': 'save',
                 'pallas_hybrid': 'hybrid'}.get(self.backend, 'recompute')
+        if self.channel_major:
+            if mode == 'hybrid':
+                raise ValueError('channel_major requires a pallas lean '
+                                 'backend (hybrid forward runs in XLA)')
+            rgb_t, dens_t = fused_mlp_lean(
+                x2, view2, tuple(flat), num_samples, self.net_depth,
+                self.net_depth_condition, self.skip_index,
+                self.compute_dtype, None, mode, self.fused_activation, True)
+            return (rgb_t.reshape(self.num_rgb_channels, *lead),
+                    dens_t.reshape(self.num_density_channels, *lead))
         rgb, dens = fused_mlp_lean(x2, view2, tuple(flat), num_samples,
                                    self.net_depth, self.net_depth_condition,
                                    self.skip_index, self.compute_dtype,

@@ -52,6 +52,44 @@ def volumetric_rendering(rgb, density, t_samples, dirs, white_bkgd: bool):
     return comp_rgb, distance, acc, weights
 
 
+def volumetric_rendering_cmajor(rgb_cm, density, t_samples, dirs,
+                                white_bkgd: bool):
+    """Channel-major twin of `volumetric_rendering` for the lean kernels'
+    cmajor boundary (kernels/mlp.py fused_mlp_lean cmajor=True).
+
+    Same math and results as `volumetric_rendering` — only the per-sample
+    rgb layout differs: [3, B, N] planes are full-lane [B, N] tensors on
+    TPU, where the row-major [B, N, 3] layout lane-pads 3 -> 128 (201 MB
+    physical per level at the lego shape).  The cotangent of `rgb_cm` flows
+    back channel-major too, which is exactly the layout the lean backward
+    kernel streams.
+
+    Args:
+      rgb_cm: [3, B, N]; density: [B, N]; t_samples: [B, N+1]; dirs: [B, 3].
+
+    Returns:
+      (comp_rgb [B, 3], distance [B], acc [B], weights [B, N]) — identical
+      to `volumetric_rendering`.
+    """
+    t_mids = 0.5 * (t_samples[..., :-1] + t_samples[..., 1:])
+    t_interval = t_samples[..., 1:] - t_samples[..., :-1]           # [B, N]
+    delta = t_interval * jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    density_delta = density * delta                                  # [B, N]
+
+    alpha = 1.0 - jnp.exp(-density_delta)
+    trans = jnp.exp(-(jnp.cumsum(density_delta, axis=-1) - density_delta))
+    weights = alpha * trans                                          # [B, N]
+
+    comp_rgb = jnp.sum(weights[None] * rgb_cm, axis=-1).T            # [B, 3]
+    acc = jnp.sum(weights, axis=-1)
+    distance = jnp.sum(weights * t_mids, axis=-1)
+    distance = jnp.clip(jnp.nan_to_num(distance, nan=0.0),
+                        t_samples[..., 0], t_samples[..., -1])
+    if white_bkgd:
+        comp_rgb = comp_rgb + (1.0 - acc[..., None])
+    return comp_rgb, distance, acc, weights
+
+
 def distloss(weights, t_samples):
     """Distortion regularizer of mip-NeRF 360 §4 (uni- + bilateral terms).
 

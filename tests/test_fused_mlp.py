@@ -577,3 +577,111 @@ def test_model_render_fusion_white_bkgd_and_unbounded():
                                    np.asarray(r_x[-1].distance),
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=f'unbounded={unbounded}')
+
+
+def test_fused_mlp_lean_cmajor_matches_rowmajor():
+    """cmajor=True must equal the row-major lean path transposed — forward
+    and parameter gradients, with and without the fused head epilogue and
+    in both pallas modes (kernels/mlp.py fused_mlp_lean cmajor)."""
+    from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
+
+    N = 8
+    mlp, params, flat, x, view, x2, view2 = _setup(M=96, cfg=CFG)
+    xdim = x2.shape[1]
+    x3 = x2.reshape(-1, N, xdim).reshape(-1, xdim)
+    view_ray = view[: x2.shape[0] // N]
+
+    for mode in ('recompute', 'save'):
+        for act in (None, (0.001, -1.0)):
+            def loss_cm(flat):
+                rgb_t, dens_t = fused_mlp_lean(
+                    x3, view_ray, flat, N, CFG['net_depth'],
+                    CFG['net_depth_condition'], CFG['skip_index'],
+                    jnp.float32, True, mode, act, True)
+                # Weighted loss so the rgb/dens cotangents are row-varying
+                # (a plain sum would hide contraction-axis mistakes).
+                w = jnp.arange(rgb_t.shape[1], dtype=jnp.float32) + 1.0
+                return (jnp.sum(w * rgb_t ** 2) + jnp.sum(w * dens_t ** 2),
+                        (rgb_t, dens_t))
+
+            def loss_rm(flat):
+                rgb, dens = fused_mlp_lean(
+                    x3, view_ray, flat, N, CFG['net_depth'],
+                    CFG['net_depth_condition'], CFG['skip_index'],
+                    jnp.float32, True, mode, act)
+                w = (jnp.arange(rgb.shape[0], dtype=jnp.float32)
+                     + 1.0)[:, None]
+                return (jnp.sum(w * rgb ** 2) + jnp.sum(w * dens ** 2),
+                        (rgb, dens))
+
+            tag = f'mode={mode} act={act}'
+            (_, (r_t, d_t)), g_cm = jax.value_and_grad(
+                loss_cm, has_aux=True)(tuple(flat))
+            (_, (r_r, d_r)), g_rm = jax.value_and_grad(
+                loss_rm, has_aux=True)(tuple(flat))
+            np.testing.assert_allclose(np.asarray(r_t.T), np.asarray(r_r),
+                                       rtol=1e-5, atol=1e-6, err_msg=tag)
+            np.testing.assert_allclose(np.asarray(d_t.T), np.asarray(d_r),
+                                       rtol=1e-5, atol=1e-6, err_msg=tag)
+            for a, b in zip(g_cm, g_rm):
+                # The swapped head contraction (k^T g^T) changes the f32
+                # accumulation order; tolerance is order-noise, not error.
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=5e-4, atol=1e-4, err_msg=tag)
+
+
+def test_volumetric_rendering_cmajor_matches_rowmajor():
+    from mipnerf_pl_tpu.ops.render import (volumetric_rendering,
+                                           volumetric_rendering_cmajor)
+
+    rng = np.random.default_rng(7)
+    B, N = 12, 8
+    rgb = jnp.asarray(rng.uniform(size=(B, N, 3)).astype(np.float32))
+    density = jnp.asarray(rng.uniform(size=(B, N, 1)).astype(np.float32))
+    t = jnp.asarray(np.sort(rng.uniform(1.0, 5.0, size=(B, N + 1))
+                            .astype(np.float32), axis=-1))
+    dirs = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    for wb in (False, True):
+        want = volumetric_rendering(rgb, density, t, dirs, white_bkgd=wb)
+        got = volumetric_rendering_cmajor(
+            jnp.moveaxis(rgb, -1, 0), density[..., 0], t, dirs,
+            white_bkgd=wb)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize('backend', ['pallas_lean', 'pallas_lean_save'])
+def test_model_channel_major_matches_default(backend):
+    """MipNerf(channel_major=True) must match the same backend without it
+    in every LevelOutput field and in parameter gradients of a loss using
+    comp_rgb and weights (the full cotangent path through
+    volumetric_rendering_cmajor into the cmajor backward kernel)."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2)
+    rays = random_rays(16)
+    m_d = MipNerf(**kw, mlp_backend=backend)
+    m_c = MipNerf(**kw, mlp_backend=backend, channel_major=True)
+    params = m_d.init(jax.random.PRNGKey(0), rays, None, False, True)
+
+    r_d = m_d.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_c = m_c.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    for ld, lc in zip(r_d, r_c):
+        np.testing.assert_allclose(np.asarray(lc.rgb), np.asarray(ld.rgb),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lc.distance),
+                                   np.asarray(ld.distance),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lc.acc), np.asarray(ld.acc),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(lc.weights),
+                                   np.asarray(ld.weights),
+                                   rtol=1e-5, atol=1e-6)
+
+    g_d, g_c = _model_pair_losses(m_d, m_c, params, rays)
+    for a, b in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)
