@@ -100,3 +100,25 @@ def test_pallas_backend_on_sharded_mesh(tmp_path):
         state, aux = step(state, rays, pixels, jax.random.PRNGKey(0))
         losses[backend] = float(aux['loss'])
     assert abs(losses['xla'] - losses['pallas_lean_save']) < 1e-4, losses
+
+
+def test_cmajor_backend_on_sharded_mesh(tmp_path):
+    """channel_major (the lean kernels' [c, M] head boundary) must compose
+    with the dp x tp sharded train step too: GSPMD partitions the cmajor
+    pallas_call along dim 1 (the batch-derived M axis) instead of dim 0."""
+    scene = make_blender_scene(str(tmp_path / 's'), n_frames=2, size=8)
+
+    losses = {}
+    for cm in (False, True):
+        hp = tiny_hparams()
+        hp['parallel.model_axis'] = 2
+        hp['nerf.mlp_backend'] = 'pallas_lean_save'
+        hp['nerf.channel_major'] = cm
+        system = MipNeRFSystem(hp)
+        system.setup(scene, 'blender', prefetch=0)
+        state = system.init_state()
+        rays, pixels = next(system.batcher)
+        step = system.make_train_step(donate=False)
+        state, aux = step(state, rays, pixels, jax.random.PRNGKey(0))
+        losses[cm] = float(aux['loss'])
+    assert abs(losses[False] - losses[True]) < 1e-4, losses
