@@ -123,6 +123,9 @@ class MipNerf(nn.Module):
     # inert otherwise, like fused_activation itself — the XLA render twin
     # rebuilds this model with mlp_backend='xla').
     channel_major: bool = False
+    # Fallback: restore the pre-round-3 XLA-side bf16 cast of the lean
+    # kernels' encode input (models/mlp.py MLP.input_cast).
+    lean_input_cast: bool = False
 
     def setup(self):
         if (self.mlp_backend in ('pallas_lean', 'pallas_lean_save',
@@ -185,6 +188,7 @@ class MipNerf(nn.Module):
             compute_dtype=self.compute_dtype,
             backend=self.mlp_backend,
             channel_major=self._cmajor,
+            input_cast=self.lean_input_cast,
         )
 
     def _rgb_act(self, x):
@@ -352,4 +356,5 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         mlp_backend=str(hparams.get('nerf.mlp_backend', 'xla')),
         fuse_render=bool(hparams.get('nerf.fuse_render', False)),
         channel_major=bool(hparams.get('nerf.channel_major', False)),
+        lean_input_cast=bool(hparams.get('nerf.lean_input_cast', False)),
     )

@@ -73,6 +73,12 @@ class MLP(nn.Module):
     # Callers must composite channel-major (ops/render.py
     # volumetric_rendering_cmajor).  Lean pallas backends only.
     channel_major: bool = False
+    # Fallback knob: cast the encode input to the compute dtype in XLA
+    # BEFORE the lean kernel (the pre-round-3 boundary, which materializes
+    # a packed bf16 copy in HBM).  Exists so the bench can retry with the
+    # known-compiling operand layout if the f32-input kernel ever hits a
+    # Mosaic lowering gap on a new toolchain.
+    input_cast: bool = False
 
     def _act(self, x):
         if self.net_activation == 'relu':
@@ -239,6 +245,8 @@ class MLP(nn.Module):
         # fusion (profiled at 3.3 ms/step for two levels at the lego
         # shape, tools/xplane_summary.py on a --profile trace).
         x2 = x.reshape(-1, xyz_dim)
+        if self.input_cast:   # compatibility fallback — see field comment
+            x2 = x2.astype(self.compute_dtype)
         view2 = view_direction.reshape(-1, view_direction.shape[-1])
         mode = {'pallas_lean_save': 'save',
                 'pallas_hybrid': 'hybrid'}.get(self.backend, 'recompute')
