@@ -86,7 +86,10 @@ def _child_main(backend: str):
     if os.environ.get('BENCH_FUSE_RENDER'):
         hparams['nerf.fuse_render'] = True
     if os.environ.get('BENCH_CHANNEL_MAJOR'):
-        hparams['nerf.channel_major'] = True
+        # '0' disables (channel_major defaults True since round 3), any
+        # other non-empty value force-enables.
+        hparams['nerf.channel_major'] = \
+            os.environ['BENCH_CHANNEL_MAJOR'] != '0'
     if os.environ.get('BENCH_LEAN_INPUT_CAST'):
         # Fallback retry (see main): pre-round-3 XLA-side bf16 input cast.
         hparams['nerf.lean_input_cast'] = True
@@ -224,7 +227,7 @@ def main():
                   'nerf.lean_input_cast=True', file=sys.stderr, flush=True)
             result, _ = _run_child(backend, timeout,
                                    {'BENCH_LEAN_INPUT_CAST': '1',
-                                    'BENCH_CHANNEL_MAJOR': ''})
+                                    'BENCH_CHANNEL_MAJOR': '0'})
             if result is not None:
                 result['fallback'] = 'lean_input_cast'
         if result is None:

@@ -121,8 +121,9 @@ class MipNerf(nn.Module):
     # padding (201 MB physical per 4.7 MB tensor at the lego shape).
     # Engages only when the lean fused-activation path does (silently
     # inert otherwise, like fused_activation itself — the XLA render twin
-    # rebuilds this model with mlp_backend='xla').
-    channel_major: bool = False
+    # rebuilds this model with mlp_backend='xla').  Default True: measured
+    # 33.3 -> 28.4 ms/step at the lego shape on-chip (DESIGN.md §12).
+    channel_major: bool = True
     # Fallback: restore the pre-round-3 XLA-side bf16 cast of the lean
     # kernels' encode input (models/mlp.py MLP.input_cast).
     lean_input_cast: bool = False
@@ -355,6 +356,6 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         ipe_backend=str(hparams.get('nerf.ipe_backend', 'xla')),
         mlp_backend=str(hparams.get('nerf.mlp_backend', 'xla')),
         fuse_render=bool(hparams.get('nerf.fuse_render', False)),
-        channel_major=bool(hparams.get('nerf.channel_major', False)),
+        channel_major=bool(hparams.get('nerf.channel_major', True)),
         lean_input_cast=bool(hparams.get('nerf.lean_input_cast', False)),
     )
