@@ -22,7 +22,8 @@ and round 2's bench timed out with no number at all):
 Env knobs: BENCH_MLP_BACKEND (default pallas_lean_save; 'xla' skips the
 second child), BENCH_XLA_TIMEOUT / BENCH_PALLAS_TIMEOUT (seconds),
 BENCH_K (steps per dispatch), BENCH_BATCH (smoke-testing only),
-BENCH_FUSE_RENDER (opt-in experiment).
+BENCH_FUSE_RENDER (opt-in experiment), BENCH_NET_WIDTH (TP-sizing
+measurements at non-reference trunk widths; DESIGN.md §11).
 
 vs_baseline: the denominator is an estimate of the reference PyTorch code on
 an A100 (the reference publishes no speed numbers and no GPU exists here).
@@ -95,6 +96,8 @@ def _child_main(backend: str):
         hparams['nerf.lean_input_cast'] = True
     if os.environ.get('BENCH_BATCH'):  # smoke-testing only
         hparams['train.batch_size'] = int(os.environ['BENCH_BATCH'])
+    if os.environ.get('BENCH_NET_WIDTH'):  # TP-sizing rows (DESIGN.md §11)
+        hparams['nerf.mlp.net_width'] = int(os.environ['BENCH_NET_WIDTH'])
     _run(hparams)
 
 
@@ -148,7 +151,7 @@ def _run(hparams):
 
     rays_per_sec = n_calls * K * batch_size / dt
     rays_per_sec_chip = rays_per_sec / n_chips
-    print(json.dumps({
+    line = {
         'metric': 'train_rays_per_sec_per_chip',
         'value': round(rays_per_sec_chip, 1),
         'unit': 'rays/s/chip',
@@ -158,7 +161,12 @@ def _run(hparams):
         'vs_baseline_bracket': [
             round(rays_per_sec_chip / REFERENCE_RAYS_PER_SEC_UPPER, 3),
             round(rays_per_sec_chip / REFERENCE_RAYS_PER_SEC, 3)],
-    }), flush=True)
+    }
+    if os.environ.get('BENCH_NET_WIDTH'):
+        # Off-reference shape: self-describe so a TP-sizing row can never be
+        # mistaken for the graded lego-shape number.
+        line['net_width'] = int(hparams['nerf.mlp.net_width'])
+    print(json.dumps(line), flush=True)
 
 
 # ---------------------------------------------------------------------------
