@@ -439,6 +439,103 @@ def _cmajor_spec(channels, tile):
                         memory_space=pltpu.VMEM)
 
 
+# ---------------------------------------------------------------------------
+# Fused IPE encode (round 4): the lean kernels can take the cone-Gaussian
+# MOMENTS — one channel-major [6, M] f32 stream (means xyz | diag-cov xyz) —
+# instead of the [M, 2*L*3] f32 encode, and compute the integrated
+# positional encoding per tile in VMEM:
+#
+#     enc = exp(-0.5 * (cov @ (S*S))) * sin(means @ S + phase)
+#
+# with S the one-hot-scaled ladder matrix (S[d, k*3+d] = 2^(min_deg+k),
+# duplicated for the sin|cos halves — the exact matmul form of
+# ops/math.py:integrated_pos_enc, whose every output element is a single
+# product and therefore exact at any dot precision >= f32).  Both moment
+# dots are fused into ONE [6, 2F] constant so the ladder costs a single
+# tiny MXU pass per tile (K=6).
+#
+# Why (round-3 trace, DESIGN.md §12): the [M, 96] f32 encode stream is the
+# last big row stream at the kernel boundary — ~151 MB physical per level
+# per direction at the lego shape (read by fwd AND bwd) plus the 0.83 ms
+# XLA encode fusion itself.  The [6, M] moments stream is 9.4 MB, the
+# in-kernel exp/sin is VPU work overlapped with the MXU trunk, and the
+# backward recomputes the encode per tile (parameter-free — the lean
+# family already requires stop_resample_grad, so the moments carry no
+# cotangent by construction).
+# ---------------------------------------------------------------------------
+
+
+def _encode_matrices(min_deg: int, max_deg: int, num_dims: int = 3):
+    """Trace-time constants of the fused encode: (comb [2*D, 2*F],
+    phase [F]) with F = 2 * (max_deg - min_deg) * D.  comb's top rows map
+    means -> sin/cos arguments (columns :F), bottom rows map diagonal covs
+    -> variance ladder (columns F:)."""
+    L = max_deg - min_deg
+    D = num_dims
+    F = 2 * L * D
+    scales = np.asarray([2.0 ** i for i in range(min_deg, max_deg)])
+    sel = np.tile(np.eye(D), (1, L))
+    s = sel * np.repeat(scales, D)[None, :]              # [D, L*D]
+    s2 = np.concatenate([s, s], axis=1)                  # [D, F]
+    comb = np.zeros((2 * D, 2 * F), np.float32)
+    comb[:D, :F] = s2
+    comb[D:, F:] = s2 * s2
+    phase = np.concatenate([np.zeros(L * D),
+                            np.full(L * D, 0.5 * np.pi)]).astype(np.float32)
+    return comb, phase
+
+
+def _decode_moments(m, comb, phase):
+    """[2*D, T] f32 moments tile -> [T, F] f32 IPE encode (ops/math.py:
+    integrated_pos_enc diagonal path, same value pipeline: exact one-hot
+    ladder matmul at HIGHEST, then the full-width exp*sin fusion).
+    comb/phase are the `_encode_matrices` constants, passed as (tiny)
+    VMEM-resident kernel inputs — Pallas kernels cannot capture array
+    constants."""
+    z = jax.lax.dot_general(
+        m, comb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [T, 2F]
+    F = comb.shape[1] // 2
+    return jnp.exp(-0.5 * z[:, F:]) * jnp.sin(z[:, :F] + phase)
+
+
+def _load_x(x_ref, enc_refs, cfg):
+    """Load the per-point input tile: the raw encode stream (cast to the
+    compute dtype in VMEM), or the moments stream decoded in VMEM when the
+    fused encode is active (enc_refs = (comb, phase [1, F]) refs)."""
+    if cfg.get('encode') is None:
+        return x_ref[:].astype(cfg['dtype'])
+    return _decode_moments(x_ref[:], enc_refs[0][:],
+                           enc_refs[1][:]).astype(cfg['dtype'])
+
+
+def _n_enc(cfg):
+    """Number of fused-encode constant inputs (0 or 2)."""
+    return 2 if cfg.get('encode') is not None else 0
+
+
+def _encode_inputs(cfg):
+    """The fused-encode constant kernel inputs ([] when inactive)."""
+    if cfg.get('encode') is None:
+        return []
+    min_deg, max_deg = cfg['encode']
+    comb, phase = _encode_matrices(min_deg, max_deg)
+    return [jnp.asarray(comb), jnp.asarray(phase.reshape(1, -1))]
+
+
+def _x_pad_spec(x, Mp, T, cfg):
+    """Pad + BlockSpec for the per-point input stream in either layout."""
+    if cfg.get('encode') is not None:
+        return _pad_cols(x, Mp), _cmajor_spec(x.shape[0], T)
+    return _pad_rows(x, Mp), _tile_spec_t(x.shape[1], T)
+
+
+def _x_rows(x, cfg):
+    """Point count of the per-point input in either layout."""
+    return x.shape[1] if cfg.get('encode') is not None else x.shape[0]
+
+
 def _run_fwd(x, view, flat_params, cfg, interpret):
     M = x.shape[0]
     Mp = ((M + _ROW_TILE - 1) // _ROW_TILE) * _ROW_TILE
@@ -715,9 +812,10 @@ def _fwd_body_lean(x, view_ray, params, cfg):
 
 def _fwd_kernel_lean(x_ref, view_ref, *refs, cfg):
     n_params = cfg['n_params']
+    ne = _n_enc(cfg)
     params = [r[:] for r in refs[:n_params]]
-    out_ref = refs[n_params]
-    x = x_ref[:].astype(cfg['dtype'])
+    out_ref = refs[n_params + ne]
+    x = _load_x(x_ref, refs[n_params:n_params + ne], cfg)
     rgb, density, _, _, _ = _fwd_body_lean(x, view_ref[:], params, cfg)
     # cmajor: heads come out [c, T] (dense_t) and pack on the channel axis.
     out_ref[:] = jnp.concatenate([rgb, density],
@@ -859,9 +957,10 @@ def _bwd_kernel_lean(x_ref, view_ref, g_rgb_ref, g_dens_ref, *refs, cfg):
     """Recompute backward: re-run the forward per tile in VMEM, then the
     shared gradient core.  Zero HBM activation traffic, +1 fwd of MXU."""
     n_params = cfg['n_params']
+    ne = _n_enc(cfg)
     params = [r[:] for r in refs[:n_params]]
-    dparam_refs = refs[n_params:]
-    x = x_ref[:].astype(cfg['dtype'])
+    dparam_refs = refs[n_params + ne:]
+    x = _load_x(x_ref, refs[n_params:n_params + ne], cfg)
     vr = view_ref[:]
     _, _, hs, ys, bottleneck = _fwd_body_lean(x, vr, params, cfg)
     _lean_param_grads(x, vr, g_rgb_ref[:], g_dens_ref[:], hs, ys,
@@ -875,10 +974,11 @@ def _fwd_kernel_lean_save(x_ref, view_ref, *refs, cfg):
     per-stream grid synchronization overhead is what killed the many-output
     variant (measured: the streams didn't overlap compute at all)."""
     n_params = cfg['n_params']
+    ne = _n_enc(cfg)
     params = [r[:] for r in refs[:n_params]]
-    out_ref = refs[n_params]
-    saved_ref = refs[n_params + 1]
-    x = x_ref[:].astype(cfg['dtype'])
+    out_ref = refs[n_params + ne]
+    saved_ref = refs[n_params + ne + 1]
+    x = _load_x(x_ref, refs[n_params:n_params + ne], cfg)
     rgb, density, hs, ys, bottleneck = _fwd_body_lean(
         x, view_ref[:], params, cfg)
     out_ref[:] = jnp.concatenate([rgb, density],
@@ -892,8 +992,10 @@ def _bwd_kernel_lean_save(x_ref, view_ref, g_rgb_ref, g_dens_ref, saved_ref,
     packed saved output; only the gradient core's MXU work remains."""
     net_depth = cfg['net_depth']
     nvd = cfg['net_depth_condition']
+    ne = _n_enc(cfg)
     params = [r[:] for r in refs[:cfg['n_params']]]
-    dparam_refs = refs[cfg['n_params']:]
+    enc_refs = refs[cfg['n_params']:cfg['n_params'] + ne]
+    dparam_refs = refs[cfg['n_params'] + ne:]
     packed = saved_ref[:]
     widths = cfg['saved_widths']
     parts, off = [], 0
@@ -903,7 +1005,7 @@ def _bwd_kernel_lean_save(x_ref, view_ref, g_rgb_ref, g_dens_ref, saved_ref,
     hs = parts[:net_depth]
     bottleneck = parts[net_depth]
     ys = parts[net_depth + 1:]
-    x = x_ref[:].astype(cfg['dtype'])
+    x = _load_x(x_ref, enc_refs, cfg)
     _lean_param_grads(x, view_ref[:], g_rgb_ref[:], g_dens_ref[:], hs, ys,
                       bottleneck, params, dparam_refs, cfg)
 
@@ -997,9 +1099,9 @@ def _run_bwd_lean_common(x, view, g_rgb, g_dens, extra, kernel_body, T, cfg,
     right row count pass through, anything else is re-padded (an HBM copy —
     off the fast path)."""
     N = cfg['num_samples']
-    M = x.shape[0]
+    M = _x_rows(x, cfg)
     Mp = ((M + T - 1) // T) * T
-    x = _pad_rows(x, Mp)
+    x, x_spec = _x_pad_spec(x, Mp, T, cfg)
     view = _pad_rows(view, Mp // N)
     cm = bool(cfg.get('cmajor'))
     if cm:
@@ -1015,6 +1117,7 @@ def _run_bwd_lean_common(x, view, g_rgb, g_dens, extra, kernel_body, T, cfg,
         g_specs = [_tile_spec_t(g_rgb.shape[1], T),
                    _tile_spec_t(g_dens.shape[1], T)]
     extra = [s if s.shape[0] == Mp else _pad_rows(s[:M], Mp) for s in extra]
+    enc_in = _encode_inputs(cfg)
     kernel = functools.partial(kernel_body, cfg=cfg)
     dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
                      for p in flat_params]
@@ -1026,15 +1129,16 @@ def _run_bwd_lean_common(x, view, g_rgb, g_dens, extra, kernel_body, T, cfg,
         kernel,
         out_shape=tuple(dparam_shapes),
         grid=(Mp // T,),
-        in_specs=([_tile_spec_t(x.shape[1], T),
+        in_specs=([x_spec,
                    _tile_spec_t(view.shape[1], T // N)]
                   + g_specs
                   + [_tile_spec_t(s.shape[1], T) for s in extra]
-                  + [_full_spec() for _ in flat_params]),
+                  + [_full_spec() for _ in flat_params]
+                  + [_full_spec() for _ in enc_in]),
         out_specs=tuple(dparam_specs),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
-    )(x, view, g_rgb, g_dens, *extra, *flat_params)
+    )(x, view, g_rgb, g_dens, *extra, *flat_params, *enc_in)
 
 
 def _run_bwd_lean_hybrid(x, view, g_rgb, g_dens, saved, flat_params, cfg,
@@ -1059,9 +1163,9 @@ def _lean_saved_widths(cfg, flat_params):
 def _run_fwd_lean_save(x, view, flat_params, cfg, interpret):
     N = cfg['num_samples']
     T = _lean_tile(_ROW_TILE_LEAN_SAVE_FWD, N)
-    M = x.shape[0]
+    M = _x_rows(x, cfg)
     Mp = ((M + T - 1) // T) * T
-    x = _pad_rows(x, Mp)
+    x, x_spec = _x_pad_spec(x, Mp, T, cfg)
     view = _pad_rows(view, Mp // N)
     nd = flat_params[2 * cfg['net_depth']].shape[1]
     pack = 3 + nd
@@ -1069,6 +1173,7 @@ def _run_fwd_lean_save(x, view, flat_params, cfg, interpret):
     dtype = cfg['dtype']
     grid = (Mp // T,)
     cm = bool(cfg.get('cmajor'))
+    enc_in = _encode_inputs(cfg)
     kernel = functools.partial(_fwd_kernel_lean_save, cfg=cfg)
     out, saved = pl.pallas_call(
         kernel,
@@ -1076,14 +1181,15 @@ def _run_fwd_lean_save(x, view, flat_params, cfg, interpret):
                                         jnp.float32),
                    jax.ShapeDtypeStruct((Mp, saved_w), dtype)),
         grid=grid,
-        in_specs=([_tile_spec_t(x.shape[1], T),
+        in_specs=([x_spec,
                    _tile_spec_t(view.shape[1], T // N)]
-                  + [_full_spec() for _ in flat_params]),
+                  + [_full_spec() for _ in flat_params]
+                  + [_full_spec() for _ in enc_in]),
         out_specs=(_cmajor_spec(pack, T) if cm else _tile_spec_t(pack, T),
                    _tile_spec_t(saved_w, T)),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
-    )(x, view, *flat_params)
+    )(x, view, *flat_params, *enc_in)
     return (out[:, :M] if cm else out[:M]), saved   # saved stays row-padded
 
 
@@ -1098,27 +1204,29 @@ def _run_bwd_lean_save(x, view, g_rgb, g_dens, saved, flat_params, cfg,
 def _run_fwd_lean(x, view, flat_params, cfg, interpret):
     N = cfg['num_samples']
     T = _lean_tile(_ROW_TILE, N)
-    M = x.shape[0]
+    M = _x_rows(x, cfg)
     Mp = ((M + T - 1) // T) * T
-    x = _pad_rows(x, Mp)
+    x, x_spec = _x_pad_spec(x, Mp, T, cfg)
     view = _pad_rows(view, Mp // N)
     nd = flat_params[2 * cfg['net_depth']].shape[1]
     pack = 3 + nd
     grid = (Mp // T,)
     cm = bool(cfg.get('cmajor'))
+    enc_in = _encode_inputs(cfg)
     kernel = functools.partial(_fwd_kernel_lean, cfg=cfg)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((pack, Mp) if cm else (Mp, pack),
                                        jnp.float32),
         grid=grid,
-        in_specs=([_tile_spec_t(x.shape[1], T),
+        in_specs=([x_spec,
                    _tile_spec_t(view.shape[1], T // N)]
-                  + [_full_spec() for _ in flat_params]),
+                  + [_full_spec() for _ in flat_params]
+                  + [_full_spec() for _ in enc_in]),
         out_specs=_cmajor_spec(pack, T) if cm else _tile_spec_t(pack, T),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
-    )(x, view, *flat_params)
+    )(x, view, *flat_params, *enc_in)
     return out[:, :M] if cm else out[:M]
 
 
@@ -1283,9 +1391,10 @@ def _lean_render_head_cotangents(rgb_a, sigma_a, delta_col, mids_col,
 def _fwd_kernel_lean_render(x_ref, view_ref, dm_ref, *refs,
                             cfg, save: bool):
     n_params = cfg['n_params']
+    ne = _n_enc(cfg)
     params = [r[:] for r in refs[:n_params]]
-    outs = refs[n_params:]
-    x = x_ref[:].astype(cfg['dtype'])
+    outs = refs[n_params + ne:]
+    x = _load_x(x_ref, refs[n_params:n_params + ne], cfg)
     rgb, density, hs, ys, bottleneck = _fwd_body_lean(
         x, view_ref[:], params, cfg)          # activated (cfg['act'] set)
     dm = dm_ref[:]                            # [T, 2] = delta | mids
@@ -1306,13 +1415,14 @@ def _bwd_kernel_lean_render(x_ref, view_ref, dm_ref, gp_ref, gw_ref,
     nvd = cfg['net_depth_condition']
     skip = cfg['skip_index']
     n_params = cfg['n_params']
+    ne = _n_enc(cfg)
     f32 = jnp.float32
-    x = x_ref[:].astype(cfg['dtype'])
     vr = view_ref[:]
     if save:
         saved_ref = refs[0]
         params = [r[:] for r in refs[1:1 + n_params]]
-        dparam_refs = refs[1 + n_params:]
+        enc_refs = refs[1 + n_params:1 + n_params + ne]
+        dparam_refs = refs[1 + n_params + ne:]
         packed = saved_ref[:]
         parts, off = [], 0
         for wd in cfg['saved_widths']:
@@ -1320,9 +1430,12 @@ def _bwd_kernel_lean_render(x_ref, view_ref, dm_ref, gp_ref, gw_ref,
             off += wd
         hs, bottleneck, ys = (parts[:net_depth], parts[net_depth],
                               parts[net_depth + 1:])
+        x = _load_x(x_ref, enc_refs, cfg)
     else:
         params = [r[:] for r in refs[:n_params]]
-        dparam_refs = refs[n_params:]
+        enc_refs = refs[n_params:n_params + ne]
+        dparam_refs = refs[n_params + ne:]
+        x = _load_x(x_ref, enc_refs, cfg)
         _, _, hs, ys, bottleneck = _fwd_body_lean(
             x, vr, params, {**cfg, 'act': None})
 
@@ -1356,12 +1469,12 @@ def _run_fwd_lean_render(x, view, dm, flat_params, cfg, interpret,
                          save: bool):
     N = cfg['num_samples']
     T = _lean_tile(_ROW_TILE_LEAN_SAVE_FWD if save else _ROW_TILE, N)
-    M = x.shape[0]
+    M = _x_rows(x, cfg)
     Mp = ((M + T - 1) // T) * T
     R = Mp // N                       # padded ray count
     Rt = T // N                       # rays per tile
     B = M // N                        # real ray count
-    x = _pad_rows(x, Mp)
+    x, x_spec = _x_pad_spec(x, Mp, T, cfg)
     view = _pad_rows(view, R)
     dm = _pad_rows(dm, Mp)
     saved_w = sum(cfg['saved_widths'])
@@ -1372,19 +1485,21 @@ def _run_fwd_lean_render(x, view, dm, flat_params, cfg, interpret,
     if save:
         out_shapes.append(jax.ShapeDtypeStruct((Mp, saved_w), dtype))
         out_specs.append(_tile_spec_t(saved_w, T))
+    enc_in = _encode_inputs(cfg)
     kernel = functools.partial(_fwd_kernel_lean_render, cfg=cfg, save=save)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
         grid=(Mp // T,),
-        in_specs=([_tile_spec_t(x.shape[1], T),
+        in_specs=([x_spec,
                    _tile_spec_t(view.shape[1], Rt),
                    _tile_spec_t(2, T)]
-                  + [_full_spec() for _ in flat_params]),
+                  + [_full_spec() for _ in flat_params]
+                  + [_full_spec() for _ in enc_in]),
         out_specs=tuple(out_specs),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
-    )(x, view, dm, *flat_params)
+    )(x, view, dm, *flat_params, *enc_in)
     perray, w = outs[:2]
     saved = outs[2] if save else None
     return (perray[:B], w[:B]), saved
@@ -1394,11 +1509,11 @@ def _run_bwd_lean_render(x, view, dm, g_perray, g_w,
                          saved, flat_params, cfg, interpret, save: bool):
     N = cfg['num_samples']
     T = _lean_tile(_ROW_TILE_LEAN_SAVE if save else _ROW_TILE_BWD, N)
-    M = x.shape[0]
+    M = _x_rows(x, cfg)
     Mp = ((M + T - 1) // T) * T
     R = Mp // N
     Rt = T // N
-    x = _pad_rows(x, Mp)
+    x, x_spec = _x_pad_spec(x, Mp, T, cfg)
     view = _pad_rows(view, R)
     dm = _pad_rows(dm, Mp)
     g_perray = _pad_rows(g_perray, R)
@@ -1413,30 +1528,32 @@ def _run_bwd_lean_render(x, view, dm, g_perray, g_w,
     dparam_specs = [pl.BlockSpec(p.shape, lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
                     for p in flat_params]
+    enc_in = _encode_inputs(cfg)
     return pl.pallas_call(
         kernel,
         out_shape=tuple(dparam_shapes),
         grid=(Mp // T,),
-        in_specs=([_tile_spec_t(x.shape[1], T),
+        in_specs=([x_spec,
                    _tile_spec_t(view.shape[1], Rt),
                    _tile_spec_t(2, T),
                    _tile_spec_t(8, Rt), _tile_spec_t(N, Rt)]
                   + [_tile_spec_t(s.shape[1], T) for s in extra]
-                  + [_full_spec() for _ in flat_params]),
+                  + [_full_spec() for _ in flat_params]
+                  + [_full_spec() for _ in enc_in]),
         out_specs=tuple(dparam_specs),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
-    )(x, view, dm, g_perray, g_w, *extra, *flat_params)
+    )(x, view, dm, g_perray, g_w, *extra, *flat_params, *enc_in)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                                    12, 13))
+                                                    12, 13, 14))
 def fused_mlp_lean_render(x, view, delta, mids, flat_params,
                           num_samples: int, net_depth: int,
                           net_depth_condition: int, skip_index: int,
                           compute_dtype=jnp.bfloat16, interpret=None,
                           mode: str = 'save', act=(0.001, -1.0),
-                          white_bkgd: bool = True):
+                          white_bkgd: bool = True, encode=None):
     """Level megakernel: MLP + head activations + volumetric compositing in
     one pallas_call.  (x [M, F], view [M/N, Fv], delta [M/N, N] =
     (t1 - t0) * ||dir||, mids [M/N, N] = 0.5 (t0 + t1), params) ->
@@ -1454,6 +1571,9 @@ def fused_mlp_lean_render(x, view, delta, mids, flat_params,
 
     mode='save' streams activations to HBM for a zero-recompute backward;
     mode='recompute' re-runs the forward per tile in the backward.
+
+    encode=(min_deg, max_deg): fused IPE — `x` is the channel-major
+    [2*D, M] f32 moments stream (see fused_mlp_lean).
     """
     if net_depth_condition < 1:
         raise ValueError('fused_mlp_lean_render requires '
@@ -1463,7 +1583,7 @@ def fused_mlp_lean_render(x, view, delta, mids, flat_params,
                          'density_bias) — the composite consumes activated '
                          'heads')
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples, act)
+                    compute_dtype, num_samples, act, encode=encode)
     cfg['render'] = {'white_bkgd': white_bkgd}
     wparams = [p.astype(compute_dtype) for p in flat_params]
     dm = jnp.concatenate([delta, mids], axis=-1).astype(jnp.float32)
@@ -1475,12 +1595,12 @@ def fused_mlp_lean_render(x, view, delta, mids, flat_params,
 def _fused_mlp_lean_render_fwd(x, view, delta, mids, flat_params,
                                num_samples, net_depth, net_depth_condition,
                                skip_index, compute_dtype, interpret, mode,
-                               act, white_bkgd):
+                               act, white_bkgd, encode):
     if net_depth_condition < 1 or act is None:
         raise ValueError('fused_mlp_lean_render requires '
                          'net_depth_condition >= 1 and act')
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples, act)
+                    compute_dtype, num_samples, act, encode=encode)
     cfg['render'] = {'white_bkgd': white_bkgd}
     wparams = [p.astype(compute_dtype) for p in flat_params]
     dm = jnp.concatenate([delta, mids], axis=-1).astype(jnp.float32)
@@ -1492,11 +1612,11 @@ def _fused_mlp_lean_render_fwd(x, view, delta, mids, flat_params,
 
 def _fused_mlp_lean_render_bwd(num_samples, net_depth, net_depth_condition,
                                skip_index, compute_dtype, interpret, mode,
-                               act, white_bkgd, res, g):
+                               act, white_bkgd, encode, res, g):
     g_comp, g_dist, g_acc, g_w = g
     x, view, dm, flat_params, saved = res
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples, act)
+                    compute_dtype, num_samples, act, encode=encode)
     cfg['render'] = {'white_bkgd': white_bkgd}
     wparams = [p.astype(compute_dtype) for p in flat_params]
     # Pack per-ray cotangents to the kernel's [R, 8] stream layout
@@ -1519,22 +1639,25 @@ fused_mlp_lean_render.defvjp(_fused_mlp_lean_render_fwd,
 
 
 def _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-              compute_dtype, num_samples, act=None, cmajor=False):
+              compute_dtype, num_samples, act=None, cmajor=False,
+              encode=None):
     cfg = _cfg(net_depth, net_depth_condition, skip_index,
                flat_params[0].shape[1], len(flat_params), compute_dtype)
     cfg['num_samples'] = num_samples
     cfg['saved_widths'] = _lean_saved_widths(cfg, flat_params)
     cfg['act'] = act
     cfg['cmajor'] = cmajor
+    cfg['encode'] = encode
     return cfg
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
 def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
                    net_depth_condition: int, skip_index: int,
                    compute_dtype=jnp.bfloat16, interpret=None,
-                   mode: str = 'recompute', act=None, cmajor: bool = False):
+                   mode: str = 'recompute', act=None, cmajor: bool = False,
+                   encode=None):
     """Lean megakernel: (x [M, F] any float dtype — cast to the compute
     dtype per tile in VMEM, view [M/num_samples, Fv], params)
     -> (rgb [M, 3], density [M, nd]) f32.
@@ -1557,7 +1680,7 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
     the compute dtype and the backward reads them back — trades ~2 GB/level
     of DMA for the recompute's MXU time, which is the win when the kernel
     is MXU-bound (measured: in-kernel rate ~107 TF/s flat across tile
-    sizes, tools/mxu_probe2.py).
+    sizes, tools/mxu_probe.py stage2).
     mode='hybrid': plain-XLA forward (bandwidth-optimal; its activations
     materialize in HBM for free as autodiff residuals) + the zero-recompute
     Pallas backward streaming them per tile — removes the 'save' forward's
@@ -1571,6 +1694,13 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
     transposed on the MXU (dense_t) — no in-VMEM transposes anywhere.
     Pallas modes only (the hybrid forward runs in XLA, which composites
     row-major anyway).
+
+    encode=(min_deg, max_deg): FUSED IPE — `x` is the channel-major
+    [2*D, M] f32 moments stream (Gaussian means | diagonal covs, D=3) and
+    the kernel computes the integrated positional encoding per tile in
+    VMEM (see the fused-encode section comment).  Equivalent to feeding
+    x = ops.math.integrated_pos_enc((means, covs), min_deg, max_deg);
+    requires the diagonal-covariance path.  Pallas modes only.
     """
     if net_depth_condition < 1:
         # A real raise, not an assert: under `python -O` an assert would
@@ -1581,8 +1711,11 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
     if cmajor and mode == 'hybrid':
         raise ValueError("cmajor is a pallas-boundary layout; mode 'hybrid' "
                          "runs its forward in XLA — use 'recompute'/'save'")
+    if encode is not None and mode == 'hybrid':
+        raise ValueError("encode is a pallas-boundary fusion; mode 'hybrid' "
+                         "runs its forward in XLA — use 'recompute'/'save'")
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples, act, cmajor)
+                    compute_dtype, num_samples, act, cmajor, encode)
     wparams = [p.astype(compute_dtype) for p in flat_params]
     if mode == 'hybrid':
         rgb, density, _, _, _ = _fwd_body_lean_xla(
@@ -1594,9 +1727,9 @@ def fused_mlp_lean(x, view, flat_params, num_samples: int, net_depth: int,
 
 def _fused_mlp_lean_fwd(x, view, flat_params, num_samples, net_depth,
                         net_depth_condition, skip_index, compute_dtype,
-                        interpret, mode, act, cmajor):
+                        interpret, mode, act, cmajor, encode):
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples, act, cmajor)
+                    compute_dtype, num_samples, act, cmajor, encode)
     wparams = [p.astype(compute_dtype) for p in flat_params]
     if mode == 'hybrid':
         rgb, density, hs, ys, bottleneck = _fwd_body_lean_xla(
@@ -1614,11 +1747,11 @@ def _fused_mlp_lean_fwd(x, view, flat_params, num_samples, net_depth,
 
 def _fused_mlp_lean_bwd(num_samples, net_depth, net_depth_condition,
                         skip_index, compute_dtype, interpret, mode, act,
-                        cmajor, res, g):
+                        cmajor, encode, res, g):
     g_rgb, g_dens = g
     x, view, flat_params, saved = res
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
-                    compute_dtype, num_samples, act, cmajor)
+                    compute_dtype, num_samples, act, cmajor, encode)
     wparams = [p.astype(compute_dtype) for p in flat_params]
     if mode == 'hybrid':
         outs = _run_bwd_lean_hybrid(x.astype(compute_dtype), view, g_rgb,

@@ -127,6 +127,19 @@ class MipNerf(nn.Module):
     # Fallback: restore the pre-round-3 XLA-side bf16 cast of the lean
     # kernels' encode input (models/mlp.py MLP.input_cast).
     lean_input_cast: bool = False
+    # Fuse the integrated positional encoding into the lean megakernels:
+    # the kernel ingests ONE channel-major [6, B, N] moments stream
+    # (ops/math.py cast_rays_cmajor) and computes the IPE per tile in VMEM
+    # (kernels/mlp.py fused-encode section) — the [M, 2*L*3] f32 encode
+    # never exists in HBM and the XLA encode fusion disappears.  Engages
+    # under the same preconditions as the lean fast path (diagonal IPE
+    # only: not unbounded, default ipe_backend); silently inert otherwise.
+    # Default False: measured SLOWER in training (34.4 vs 28.4 ms/step at
+    # the lego shape — the in-kernel decode recompute on the fwd+bwd
+    # critical path costs more than the boundary stream it removes;
+    # DESIGN.md §13).  Kept as an opt-in: correct (tests/test_fused_mlp)
+    # and the right boundary for forward-only/TP regimes.
+    fuse_encode: bool = False
 
     def setup(self):
         if (self.mlp_backend in ('pallas_lean', 'pallas_lean_save',
@@ -173,6 +186,17 @@ class MipNerf(nn.Module):
             and self.mlp_backend in ('pallas_lean', 'pallas_lean_save')
             and self.mlp_num_rgb_channels == 3
             and self.mlp_num_density_channels == 1)
+        # Fused IPE (kernels/mlp.py encode=): lean pallas backends, the
+        # standard diagonal-covariance encode only (the unbounded path uses
+        # the icosahedral basis + contraction; ipe_backend='pallas' is the
+        # standalone opt-in kernel).  disable_integration still works — the
+        # covariance rows of the moments stream are zeroed instead.
+        self._fused_encode = (
+            self.fuse_encode
+            and self._fused_act
+            and self.mlp_backend in ('pallas_lean', 'pallas_lean_save')
+            and not self.unbounded
+            and self.ipe_backend == 'xla')
         mlp_cls = nn.remat(MLP) if self.remat == 'mlp' else MLP
         self.mlp = mlp_cls(
             fused_activation=((float(self.rgb_padding),
@@ -249,9 +273,27 @@ class MipNerf(nn.Module):
                     t_samples, weights, randomized, self.ray_shape,
                     self.stop_resample_grad, self.resample_padding)
 
-            if self.disable_integration:
+            encode = None
+            if self._fused_encode:
+                # Fused-encode boundary: hand the lean kernel the raw
+                # channel-major moments; it computes the IPE per tile in
+                # VMEM.  (means_covs from the sampler is unused here and
+                # DCE'd by XLA — cast_rays_cmajor recomputes the identical
+                # moments in the kernel-friendly [6, B, N] layout.)
+                from mipnerf_pl_tpu.ops.math import cast_rays_cmajor
+                samples_enc = cast_rays_cmajor(
+                    t_samples, rays.origins, rays.directions, rays.radii,
+                    self.ray_shape)
+                if self.disable_integration:
+                    samples_enc = jnp.concatenate(
+                        [samples_enc[:3], jnp.zeros_like(samples_enc[3:])],
+                        axis=0)
+                encode = (self.min_deg_point, self.max_deg_point)
+            elif self.disable_integration:
                 means_covs = (means_covs[0], jnp.zeros_like(means_covs[1]))
-            if self.unbounded:
+            if encode is not None:
+                pass
+            elif self.unbounded:
                 samples_enc = integrated_pos_enc_360(means_covs)
             elif self.ipe_backend == 'pallas':
                 from mipnerf_pl_tpu.kernels.ipe import fused_ipe
@@ -277,7 +319,8 @@ class MipNerf(nn.Module):
                 delta = (t1 - t0) * jnp.linalg.norm(
                     rays.directions, axis=-1, keepdims=True)
                 comp_rgb, dist_raw, acc, weights = self.mlp(
-                    samples_enc, viewdirs_enc, (delta, mids, white_bkgd))
+                    samples_enc, viewdirs_enc, (delta, mids, white_bkgd),
+                    encode)
                 distance = jnp.clip(jnp.nan_to_num(dist_raw, nan=0.0),
                                     t_render[..., 0], t_render[..., -1])
                 ret.append(LevelOutput(comp_rgb, distance, acc, weights,
@@ -288,7 +331,8 @@ class MipNerf(nn.Module):
                 viewdirs_enc = pos_enc(
                     rays.viewdirs, min_deg=0, max_deg=self.deg_view,
                     append_identity=self.append_identity)
-                raw_rgb, raw_density = self.mlp(samples_enc, viewdirs_enc)
+                raw_rgb, raw_density = self.mlp(samples_enc, viewdirs_enc,
+                                                None, encode)
             else:
                 raw_rgb, raw_density = self.mlp(samples_enc)
 
@@ -358,4 +402,5 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         fuse_render=bool(hparams.get('nerf.fuse_render', False)),
         channel_major=bool(hparams.get('nerf.channel_major', True)),
         lean_input_cast=bool(hparams.get('nerf.lean_input_cast', False)),
+        fuse_encode=bool(hparams.get('nerf.fuse_encode', False)),
     )

@@ -87,11 +87,13 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, view_direction: Optional[jnp.ndarray] = None,
-                 render=None):
+                 render=None, encode=None):
         """Evaluate the MLP.
 
         Args:
-          x: [batch, num_samples, feature] encoded sample positions (IPE).
+          x: [batch, num_samples, feature] encoded sample positions (IPE) —
+            or, with `encode`, the CHANNEL-MAJOR [6, batch, num_samples]
+            cone-Gaussian moments (ops/math.py cast_rays_cmajor).
           view_direction: optional [batch, feature] encoded view directions,
             shared by all samples of a ray.
           render: optional (delta [batch, N], mids [batch, N], white_bkgd)
@@ -99,19 +101,28 @@ class MLP(nn.Module):
             return PER-RAY outputs (comp_rgb, dist_raw, acc, weights)
             instead of the raw heads.  Requires a lean backend and
             `fused_activation`.
+          encode: optional (min_deg, max_deg) — fuse the integrated
+            positional encoding into the lean megakernel (x carries
+            moments, the kernel computes the IPE per tile in VMEM).
+            Requires a lean pallas backend.
 
         Returns:
           raw_rgb: [batch, num_samples, num_rgb_channels] (float32)
           raw_density: [batch, num_samples, num_density_channels] (float32)
           — or the per-ray render tuple when `render` is given.
         """
+        if encode is not None and self.backend not in ('pallas_lean',
+                                                       'pallas_lean_save'):
+            raise ValueError('encode fusion requires a lean pallas backend, '
+                             f'got {self.backend!r}')
         if render is not None:
-            return self._call_pallas_lean_render(x, view_direction, *render)
-        num_samples = x.shape[-2]
+            return self._call_pallas_lean_render(x, view_direction, *render,
+                                                 encode=encode)
+        num_samples = x.shape[-1] if encode is not None else x.shape[-2]
         if (self.backend in ('pallas_lean', 'pallas_lean_save',
                              'pallas_hybrid')
                 and view_direction is not None):
-            return self._call_pallas_lean(x, view_direction)
+            return self._call_pallas_lean(x, view_direction, encode)
         if (self.backend in ('pallas', 'pallas_save')
                 and view_direction is not None):
             return self._call_pallas(x, view_direction)
@@ -215,9 +226,23 @@ class MLP(nn.Module):
         flat += [k, b.reshape(1, -1)]
         return flat
 
-    def _call_pallas_lean(self, x, view_direction):
+    def _lean_x_layout(self, x, encode):
+        """(num_samples, xyz_dim, lead, x2) of the lean per-point input in
+        either boundary layout: encoded rows [.., N, F] -> [M, F], or
+        channel-major moments [6, .., N] -> [6, M] with the ENCODED width
+        as xyz_dim (the kernel decodes to it; the param tree is identical
+        either way)."""
+        if encode is None:
+            return x.shape[-2], x.shape[-1], x.shape[:-1], \
+                x.reshape(-1, x.shape[-1])
+        min_deg, max_deg = encode
+        xyz_dim = 2 * (max_deg - min_deg) * (x.shape[0] // 2)
+        return x.shape[-1], xyz_dim, x.shape[1:], x.reshape(x.shape[0], -1)
+
+    def _call_pallas_lean(self, x, view_direction, encode=None):
         """Lean megakernel (kernels/mlp.py:fused_mlp_lean): f32 encode
-        input cast to the compute dtype in-VMEM, per-ray view features
+        input cast to the compute dtype in-VMEM (or, with `encode`, the
+        [6, M] moments stream decoded in-VMEM), per-ray view features
         (the kernel broadcasts them), one packed output, parameter
         gradients only.  Parameter tree identical to every other
         backend."""
@@ -231,11 +256,9 @@ class MLP(nn.Module):
         if self.num_rgb_channels != 3:
             raise ValueError('lean mode packs rgb as 3 channels, got '
                              f'{self.num_rgb_channels}')
-        num_samples = x.shape[-2]
-        xyz_dim = x.shape[-1]
+        num_samples, xyz_dim, lead, x2 = self._lean_x_layout(x, encode)
         flat = self._declare_flat_params(xyz_dim, view_direction.shape[-1])
 
-        lead = x.shape[:-1]
         # The encode output enters the kernel in ITS OWN dtype (f32): the
         # kernel casts each tile to the compute dtype on VMEM load, where
         # the VPU convert is fully overlapped.  Casting here instead makes
@@ -244,8 +267,7 @@ class MLP(nn.Module):
         # operand's packed (2,1) tiling forces a standalone convert+repack
         # fusion (profiled at 3.3 ms/step for two levels at the lego
         # shape, tools/xplane_summary.py on a --profile trace).
-        x2 = x.reshape(-1, xyz_dim)
-        if self.input_cast:   # compatibility fallback — see field comment
+        if self.input_cast and encode is None:   # compatibility fallback
             x2 = x2.astype(self.compute_dtype)
         view2 = view_direction.reshape(-1, view_direction.shape[-1])
         mode = {'pallas_lean_save': 'save',
@@ -257,18 +279,20 @@ class MLP(nn.Module):
             rgb_t, dens_t = fused_mlp_lean(
                 x2, view2, tuple(flat), num_samples, self.net_depth,
                 self.net_depth_condition, self.skip_index,
-                self.compute_dtype, None, mode, self.fused_activation, True)
+                self.compute_dtype, None, mode, self.fused_activation, True,
+                encode)
             return (rgb_t.reshape(self.num_rgb_channels, *lead),
                     dens_t.reshape(self.num_density_channels, *lead))
         rgb, dens = fused_mlp_lean(x2, view2, tuple(flat), num_samples,
                                    self.net_depth, self.net_depth_condition,
                                    self.skip_index, self.compute_dtype,
-                                   None, mode, self.fused_activation)
+                                   None, mode, self.fused_activation, False,
+                                   encode)
         return (rgb.reshape(*lead, self.num_rgb_channels),
                 dens.reshape(*lead, self.num_density_channels))
 
     def _call_pallas_lean_render(self, x, view_direction, delta, mids,
-                                 white_bkgd):
+                                 white_bkgd, encode=None):
         """Level megakernel (kernels/mlp.py:fused_mlp_lean_render): MLP +
         head activations + volumetric compositing in one pallas_call,
         returning per-ray (comp_rgb, dist_raw [unclamped], acc, weights)."""
@@ -287,12 +311,10 @@ class MLP(nn.Module):
             raise ValueError('render fusion requires fused_activation')
         if view_direction is None:
             raise ValueError('render fusion requires view directions')
-        num_samples = x.shape[-2]
-        xyz_dim = x.shape[-1]
+        num_samples, xyz_dim, lead_x, x2 = self._lean_x_layout(x, encode)
         flat = self._declare_flat_params(xyz_dim, view_direction.shape[-1])
-        lead = x.shape[:-2]
+        lead = lead_x[:-1]
         # f32 in; the kernel casts per tile in VMEM (see _call_pallas_lean).
-        x2 = x.reshape(-1, xyz_dim)
         view2 = view_direction.reshape(-1, view_direction.shape[-1])
         d2 = delta.reshape(-1, 1)
         m2 = mids.reshape(-1, 1)
@@ -300,7 +322,7 @@ class MLP(nn.Module):
         comp, dist, acc, w = fused_mlp_lean_render(
             x2, view2, d2, m2, tuple(flat), num_samples, self.net_depth,
             self.net_depth_condition, self.skip_index, self.compute_dtype,
-            None, mode, self.fused_activation, bool(white_bkgd))
+            None, mode, self.fused_activation, bool(white_bkgd), encode)
         return (comp.reshape(*lead, 3), dist.reshape(*lead),
                 acc.reshape(*lead), w.reshape(*lead, num_samples))
 

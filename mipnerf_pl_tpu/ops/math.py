@@ -131,6 +131,50 @@ def cast_rays(t_samples, origins, directions, radii, ray_shape: str = 'cone',
     return means, covs
 
 
+def cast_rays_cmajor(t_samples, origins, directions, radii,
+                     ray_shape: str = 'cone'):
+    """Channel-major twin of `cast_rays` (diagonal covariances only):
+    returns ONE [6, ..., N] f32 tensor — rows 0-2 the Gaussian means xyz,
+    rows 3-5 the diagonal covariance xyz.
+
+    Bit-identical values to `cast_rays(..., diagonal=True)` rearranged
+    (same formulas, same operation order — pinned by
+    tests/test_ops_math.py).  This is the producer of the lean megakernels'
+    fused-encode moments stream (kernels/mlp.py `encode=`): every tensor
+    here keeps the sample axis minor, i.e. full-128-lane [.., N] planes on
+    TPU, where the row-major [.., N, 3] layout would lane-pad 3 -> 128
+    (201 MB physical per 4.7 MB tensor at the lego shape).
+    """
+    t0 = t_samples[..., :-1]
+    t1 = t_samples[..., 1:]
+    if ray_shape == 'cone':
+        # conical_frustum_to_gaussian, stable parameterization (paper eq. 7).
+        mu = (t0 + t1) / 2.0
+        hw = (t1 - t0) / 2.0
+        denom = 3.0 * mu ** 2 + hw ** 2
+        t_mean = mu + (2.0 * mu * hw ** 2) / denom
+        t_var = hw ** 2 / 3.0 - (4.0 / 15.0) * (
+            hw ** 4 * (12.0 * mu ** 2 - hw ** 2)) / denom ** 2
+        r_var = radii ** 2 * (mu ** 2 / 4.0 + (5.0 / 12.0) * hw ** 2
+                              - (4.0 / 15.0) * hw ** 4 / denom)
+    elif ray_shape == 'cylinder':
+        t_mean = (t0 + t1) / 2.0
+        r_var = radii ** 2 / 4.0
+        t_var = (t1 - t0) ** 2 / 12.0
+    else:
+        raise ValueError(f'unknown ray_shape: {ray_shape!r}')
+    # lift_gaussian, channels leading: d/o [3, ..., 1], moments [.., N].
+    d = jnp.moveaxis(directions, -1, 0)[..., None]
+    o = jnp.moveaxis(origins, -1, 0)[..., None]
+    d_sq = jnp.sum(directions ** 2, axis=-1)[None, ..., None] + 1e-10
+    means = d * t_mean[None] + o                          # [3, ..., N]
+    d_outer_diag = d ** 2                                 # [3, ..., 1]
+    null_outer_diag = 1.0 - d_outer_diag / d_sq
+    covs = (t_var[None] * d_outer_diag
+            + r_var[None] * null_outer_diag)              # [3, ..., N]
+    return jnp.concatenate([means, covs], axis=0)         # [6, ..., N]
+
+
 def expected_sin(x, x_var):
     """Mean (and variance) of sin(z) for z ~ N(x, x_var).
 

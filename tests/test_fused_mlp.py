@@ -687,3 +687,174 @@ def test_model_channel_major_matches_default(backend):
     for a, b in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_c)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-5)
+
+
+def _moments_setup(R=16, N=8, min_deg=0, max_deg=4, seed=3, cfg=CFG):
+    """Random cone-Gaussian moments + the manually encoded equivalent."""
+    from mipnerf_pl_tpu.ops.math import integrated_pos_enc
+
+    rng = np.random.default_rng(seed)
+    D = 3
+    means = rng.normal(size=(R, N, D)).astype(np.float32)
+    covs = rng.uniform(0.0, 0.5, size=(R, N, D)).astype(np.float32)
+    enc = integrated_pos_enc((jnp.asarray(means), jnp.asarray(covs)),
+                             min_deg, max_deg)                  # [R, N, F]
+    moments = jnp.asarray(
+        np.concatenate([means.reshape(-1, D).T,
+                        covs.reshape(-1, D).T], axis=0))        # [6, R*N]
+    xdim = enc.shape[-1]
+    view = jnp.asarray(rng.normal(size=(R, 11)).astype(np.float32))
+    mlp = MLP(**cfg, compute_dtype=jnp.float32)
+    x3 = enc.reshape(R, N, xdim)
+    params = mlp.init(jax.random.PRNGKey(0), x3, view)
+    flat = flatten_params(params['params'], cfg['net_depth'],
+                          cfg['net_depth_condition'])
+    return moments, enc.reshape(-1, xdim), view, flat, (min_deg, max_deg)
+
+
+@pytest.mark.parametrize('mode', ['recompute', 'save'])
+@pytest.mark.parametrize('cmajor', [False, True])
+def test_fused_mlp_lean_encode_matches_manual(mode, cmajor):
+    """encode=(min_deg, max_deg) on a [6, M] moments stream must equal the
+    same lean kernel fed the XLA integrated_pos_enc of those moments —
+    forward outputs and parameter gradients (kernels/mlp.py
+    _decode_moments)."""
+    from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
+
+    N = 8
+    moments, enc, view, flat, deg = _moments_setup(N=N)
+
+    def run(flat, fused):
+        x = moments if fused else enc
+        rgb, dens = fused_mlp_lean(
+            x, view, flat, N, CFG['net_depth'], CFG['net_depth_condition'],
+            CFG['skip_index'], jnp.float32, True, mode, None, cmajor,
+            deg if fused else None)
+        axis = 1 if cmajor else 0
+        w = jnp.arange(rgb.shape[axis], dtype=jnp.float32) + 1.0
+        if cmajor:
+            w = w[None, :]
+        else:
+            w = w[:, None]
+        return jnp.sum(w * rgb ** 2) + jnp.sum(w * dens ** 2), (rgb, dens)
+
+    (_, (r_f, d_f)), g_f = jax.value_and_grad(
+        lambda f: run(f, True), has_aux=True)(tuple(flat))
+    (_, (r_m, d_m)), g_m = jax.value_and_grad(
+        lambda f: run(f, False), has_aux=True)(tuple(flat))
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_m),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_m),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(g_f, g_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fused_mlp_lean_encode_padding():
+    """Moments stream with a point count that is not a tile multiple: the
+    zero-padded moment columns decode to a NONZERO encode (sin of the cos
+    phase is 1), which must still contribute nothing — all cotangents on
+    padded rows are zero."""
+    import mipnerf_pl_tpu.kernels.mlp as kmlp
+    from mipnerf_pl_tpu.kernels.mlp import fused_mlp_lean
+
+    N = 4
+    R = 129                                     # 516 points, tile 512
+    moments, enc, view, flat, deg = _moments_setup(R=R, N=N)
+
+    def loss(flat, fused):
+        x = moments if fused else enc
+        rgb, dens = fused_mlp_lean(
+            x, view, flat, N, CFG['net_depth'], CFG['net_depth_condition'],
+            CFG['skip_index'], jnp.float32, True, 'save', None, False,
+            deg if fused else None)
+        return jnp.sum(rgb ** 2) + jnp.sum(dens ** 2)
+
+    g_f = jax.grad(lambda f: loss(f, True))(tuple(flat))
+    g_m = jax.grad(lambda f: loss(f, False))(tuple(flat))
+    for a, b in zip(g_f, g_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_model_fuse_encode_matches_unfused():
+    """MipNerf(fuse_encode=True) must match both
+    fuse_encode=False (same backend) and the XLA model in every LevelOutput
+    field and in parameter gradients (incl. weights via distloss)."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2)
+    rays = random_rays(16)
+    m_x = MipNerf(**kw, mlp_backend='xla')
+    m_0 = MipNerf(**kw, mlp_backend='pallas_lean_save', fuse_encode=False)
+    m_1 = MipNerf(**kw, mlp_backend='pallas_lean_save', fuse_encode=True)
+    params = m_x.init(jax.random.PRNGKey(0), rays, None, False, True)
+    params_1 = m_1.init(jax.random.PRNGKey(0), rays, None, False, True)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_1))
+
+    r_x = m_x.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_0 = m_0.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_1 = m_1.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    for lx, l0, l1 in zip(r_x, r_0, r_1):
+        for f in ('rgb', 'distance', 'acc', 'weights'):
+            np.testing.assert_allclose(
+                np.asarray(getattr(l1, f)), np.asarray(getattr(l0, f)),
+                rtol=1e-5, atol=1e-6, err_msg=f'{f} fused vs unfused')
+            np.testing.assert_allclose(
+                np.asarray(getattr(l1, f)), np.asarray(getattr(lx, f)),
+                rtol=1e-5, atol=1e-5, err_msg=f'{f} fused vs xla')
+
+    g_x, g_1 = _model_pair_losses(m_x, m_1, params, rays)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=2e-5)
+
+
+def test_model_fuse_encode_render_fusion():
+    """fuse_encode composes with fuse_render: the level megakernel ingests
+    moments and emits per-ray outputs — vs the XLA model."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2)
+    rays = random_rays(16)
+    m_x = MipNerf(**kw, mlp_backend='xla')
+    m_r = MipNerf(**kw, mlp_backend='pallas_lean_save', fuse_render=True,
+                  fuse_encode=True)
+    params = m_x.init(jax.random.PRNGKey(0), rays, None, False, True)
+    r_x = m_x.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_r = m_r.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    for lx, lr in zip(r_x, r_r):
+        for f in ('rgb', 'distance', 'acc', 'weights'):
+            np.testing.assert_allclose(
+                np.asarray(getattr(lr, f)), np.asarray(getattr(lx, f)),
+                rtol=1e-5, atol=1e-5, err_msg=f)
+
+    g_x, g_r = _model_pair_losses(m_x, m_r, params, rays)
+    for a, b in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_model_fuse_encode_disable_integration():
+    """disable_integration under the fused encode: the covariance rows are
+    zeroed, which must equal the XLA model's zeroed-cov PE path."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2,
+              disable_integration=True)
+    rays = random_rays(8)
+    m_x = MipNerf(**kw, mlp_backend='xla')
+    m_e = MipNerf(**kw, mlp_backend='pallas_lean_save')
+    params = m_x.init(jax.random.PRNGKey(0), rays, None, False, True)
+    r_x = m_x.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_e = m_e.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    np.testing.assert_allclose(np.asarray(r_e[-1].rgb),
+                               np.asarray(r_x[-1].rgb), rtol=1e-5, atol=1e-5)

@@ -198,3 +198,29 @@ def test_math_jit_compatible():
     t = jnp.broadcast_to(jnp.linspace(2., 6., 9), (8, 9))
     out = f(o, d, r, t)
     assert out.shape == (8, 8, 96)
+
+
+def test_cast_rays_cmajor_matches_cast_rays():
+    """cast_rays_cmajor must be BIT-IDENTICAL to cast_rays(diagonal=True)
+    rearranged, for both ray shapes (it is the producer of the lean
+    kernels' fused-encode moments stream)."""
+    import numpy as np
+
+    from mipnerf_pl_tpu.ops.math import cast_rays, cast_rays_cmajor
+
+    rng = np.random.default_rng(11)
+    B, N = 7, 6
+    t = jnp.asarray(np.sort(rng.uniform(1.0, 5.0, size=(B, N + 1))
+                            .astype(np.float32), axis=-1))
+    o = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    r = jnp.asarray(rng.uniform(0.001, 0.01, size=(B, 1)).astype(np.float32))
+    for shape in ('cone', 'cylinder'):
+        means, covs = cast_rays(t, o, d, r, shape, diagonal=True)
+        m = cast_rays_cmajor(t, o, d, r, shape)
+        np.testing.assert_array_equal(
+            np.asarray(m[:3]), np.moveaxis(np.asarray(means), -1, 0),
+            err_msg=f'{shape} means')
+        np.testing.assert_array_equal(
+            np.asarray(m[3:]), np.moveaxis(np.asarray(covs), -1, 0),
+            err_msg=f'{shape} covs')
