@@ -64,7 +64,10 @@ class TrainBatcher:
 
     def _put_on_device(self, rays: Rays, pixels: np.ndarray):
         if self.sharding is not None:
-            dev = lambda x: jax.device_put(x, self.sharding)
+            # put_global: plain device_put on one host, per-process shard
+            # assembly on pods (parallel/mesh.py put_global).
+            from mipnerf_pl_tpu.parallel.mesh import put_global
+            dev = lambda x: put_global(x, self.sharding)
         else:
             dev = jax.device_put
         return Rays(*[dev(np.ascontiguousarray(f)) for f in rays]), dev(

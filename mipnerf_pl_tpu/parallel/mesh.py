@@ -88,8 +88,47 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_count() -> int:
+    """jax.process_count(), routed through this module so multi-host tests
+    can monkeypatch it on a single-process virtual mesh."""
+    return jax.process_count()
+
+
+def put_global(x, sharding: NamedSharding):
+    """`device_put` that also works on MULTI-PROCESS meshes.
+
+    Single-process: plain `jax.device_put` (the fast path — one transfer,
+    no per-shard callbacks).
+
+    Multi-process (TPU pod slices): `device_put` onto a NamedSharding that
+    spans non-addressable devices raises, so the global array is assembled
+    with `jax.make_array_from_callback` — each host materializes ONLY the
+    shards its addressable devices own, sliced out of its host-local copy
+    of the (host-global) numpy data.
+
+    Design choice (vs each host sampling only its ray shard): every host
+    holds the full host-global batch/image and ships 1/num_processes of
+    it.  The host-side cost is a few MB of redundant numpy sampling per
+    dispatch; in exchange the GLOBAL batch sequence is bit-identical to
+    the single-host run (same rng, same rows), so pod runs reproduce
+    single-chip runs exactly and resume across topology changes.  The
+    reference has no multi-host story at all (its DDP assumes one machine,
+    reference train.py:48-62).
+    """
+    if process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def put_global_tree(tree, sharding: NamedSharding):
+    """put_global over a pytree (params/state trees on pods)."""
+    return jax.tree.map(lambda x: put_global(x, sharding), tree)
+
+
 def shard_rays(rays: Rays, sharding: NamedSharding) -> Rays:
-    return namedtuple_map(lambda x: jax.device_put(x, sharding), rays)
+    return namedtuple_map(lambda x: put_global(x, sharding), rays)
 
 
 def pad_batch_to_devices(n: int, num_devices: int) -> int:
