@@ -103,14 +103,29 @@ class MipNeRFSystem:
                                             'float32')) == 'bfloat16'
                          else jnp.float32)
         self.model = make_mipnerf_from_hparams(hparams, compute_dtype)
-        # Inference model: identical params, but always the XLA MLP backend.
-        # The Pallas megakernels only pay off in training (their value is
-        # the fused backward); forward-only they render slower (measured
-        # 4.86 vs 4.07 s/frame at 800px), so val/eval/video render with
-        # XLA regardless of the training backend.
-        if str(hparams.get('nerf.mlp_backend', 'xla')) != 'xla':
+        # Inference model: identical params, its own backend selection
+        # (val.mlp_backend).  Forward-only the right kernel is DIFFERENT
+        # from training's (no backward grid-sync, no saved streams);
+        # tools/render_bench.py is the evidence base (PARITY.md "Render
+        # path"):
+        #   'auto'  -> the measured-fastest render backend (currently XLA:
+        #              the compiler-fused forward)
+        #   'xla' | 'pallas_lean' | 'pallas_lean_save' -> explicit choice
+        #              (lean backends render through the fuse_render level
+        #              megakernel — per-ray outputs never touch HBM)
+        train_backend = str(hparams.get('nerf.mlp_backend', 'xla'))
+        val_backend = str(hparams.get('val.mlp_backend', 'auto') or 'auto')
+        if val_backend == 'auto':
+            val_backend = 'xla'
+        if (val_backend != train_backend
+                or val_backend.startswith('pallas_lean')):
             eval_hp = dict(hparams)
-            eval_hp['nerf.mlp_backend'] = 'xla'
+            eval_hp['nerf.mlp_backend'] = val_backend
+            if val_backend.startswith('pallas_lean'):
+                # Per-ray outputs never touch HBM; forward-only the fused
+                # composite is pure win (no backward grid-sync cost, which
+                # is what made it lose in training — DESIGN.md §10).
+                eval_hp['nerf.fuse_render'] = True
             self.eval_model = make_mipnerf_from_hparams(eval_hp,
                                                         compute_dtype)
         else:
@@ -173,7 +188,8 @@ class MipNeRFSystem:
         if self.mesh.shape.get('model', 1) > 1:
             from mipnerf_pl_tpu.parallel.tp import shard_params_tp
             return shard_params_tp(params, self.mesh)
-        return jax.device_put(params, self.param_sharding)
+        from mipnerf_pl_tpu.parallel.mesh import put_global_tree
+        return put_global_tree(params, self.param_sharding)
 
     def place_state(self, state):
         """Place a restored host state on the mesh with the run's layout.
@@ -184,7 +200,8 @@ class MipNeRFSystem:
         if self.mesh.shape.get('model', 1) > 1:
             from mipnerf_pl_tpu.parallel.tp import mlp_param_shardings
             return jax.device_put(state, mlp_param_shardings(state, self.mesh))
-        return jax.device_put(state, self.param_sharding)
+        from mipnerf_pl_tpu.parallel.mesh import put_global_tree
+        return put_global_tree(state, self.param_sharding)
 
     def abstract_state(self):
         """Abstract {params, opt_state, step} pytree (no device memory)."""
@@ -370,8 +387,9 @@ class MipNeRFSystem:
 
         stack = Rays(*[np.stack([np.asarray(getattr(c, f)) for c in chunks])
                        for f in Rays._fields])
+        from mipnerf_pl_tpu.parallel.mesh import put_global
         stack = namedtuple_map(
-            lambda x: jax.device_put(x, self.stacked_sharding), stack)
+            lambda x: put_global(x, self.stacked_sharding), stack)
         outs = self.render_chunks_scanned(params, stack, key)
         coarse_rgb, fine_rgb, dist, acc = [
             np.asarray(o).reshape(-1, *o.shape[2:])[:n_valid] for o in outs]
