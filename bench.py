@@ -22,8 +22,9 @@ and round 2's bench timed out with no number at all):
 Env knobs: BENCH_MLP_BACKEND (default pallas_lean_save; 'xla' skips the
 second child), BENCH_XLA_TIMEOUT / BENCH_PALLAS_TIMEOUT (seconds),
 BENCH_K (steps per dispatch), BENCH_BATCH (smoke-testing only),
-BENCH_FUSE_RENDER (opt-in experiment), BENCH_NET_WIDTH (TP-sizing
-measurements at non-reference trunk widths; DESIGN.md §11).
+BENCH_FUSE_RENDER (opt-in experiment), BENCH_FUSE_ENCODE=0 (disable the
+round-4 in-kernel IPE), BENCH_NET_WIDTH (TP-sizing measurements at
+non-reference trunk widths; DESIGN.md §11).
 
 vs_baseline: the denominator is an estimate of the reference PyTorch code on
 an A100 (the reference publishes no speed numbers and no GPU exists here).
@@ -94,6 +95,9 @@ def _child_main(backend: str):
     if os.environ.get('BENCH_LEAN_INPUT_CAST'):
         # Fallback retry (see main): pre-round-3 XLA-side bf16 input cast.
         hparams['nerf.lean_input_cast'] = True
+    if os.environ.get('BENCH_FUSE_ENCODE') == '0':
+        # Fallback retry (see main): disable the round-4 in-kernel IPE.
+        hparams['nerf.fuse_encode'] = False
     if os.environ.get('BENCH_BATCH'):  # smoke-testing only
         hparams['train.batch_size'] = int(os.environ['BENCH_BATCH'])
     if os.environ.get('BENCH_NET_WIDTH'):  # TP-sizing rows (DESIGN.md §11)
@@ -203,7 +207,7 @@ def _run_child(backend: str, timeout: float, extra_env=None):
               'killed', file=sys.stderr, flush=True)
         # The measurement may have landed before the hang (the tunnel is
         # known to stall in teardown): salvage any JSON the child printed.
-        return parse_lines(stdout), True
+        return parse_lines(stdout), True, stderr
     if proc.stderr:
         sys.stderr.write(proc.stderr)
         sys.stderr.flush()
@@ -211,7 +215,16 @@ def _run_child(backend: str, timeout: float, extra_env=None):
     if proc.returncode != 0:
         print(f'# bench child {backend!r} exited rc={proc.returncode}',
               file=sys.stderr, flush=True)
-    return result, False
+    return result, False, proc.stderr or ''
+
+
+def _is_vmem_oom(stderr: str) -> bool:
+    """Mosaic scoped-VMEM allocation failure: a config/shape problem no
+    boundary-layout retry can fix (ADVICE r3: retrying just doubles
+    time-to-fallback, e.g. W=1024 single-chip)."""
+    s = stderr or ''
+    return ('vmem' in s.lower() and
+            ('exceeds' in s.lower() or 'alloc' in s.lower()))
 
 
 def main():
@@ -221,23 +234,31 @@ def main():
         plan.append((best_backend,
                      float(os.environ.get('BENCH_PALLAS_TIMEOUT', '1500'))))
 
+    # Fallback ladder for the pallas child, newest boundary first: the
+    # round-4 in-kernel IPE, then the round-3 f32-input/channel-major
+    # layout.  Each rung only runs if the child died FAST (a Mosaic
+    # lowering gap — a slow compile would have hit the deadline instead)
+    # and NOT with a scoped-VMEM allocation failure (an OOM no layout
+    # retry can fix; retrying just doubles time-to-fallback — ADVICE r3).
+    ladder = [
+        ('fuse_encode_off', {'BENCH_FUSE_ENCODE': '0'}),
+        ('lean_input_cast', {'BENCH_FUSE_ENCODE': '0',
+                             'BENCH_LEAN_INPUT_CAST': '1',
+                             'BENCH_CHANNEL_MAJOR': '0'}),
+    ]
     best = None
     for backend, timeout in plan:
-        result, timed_out = _run_child(backend, timeout)
-        if result is None and backend != 'xla' and not timed_out:
-            # The f32-input / channel-major kernels are newer than the
-            # round-2-proven operand layout; if the pallas child died FAST
-            # (a Mosaic lowering gap on a new toolchain — a slow compile
-            # would have hit the deadline instead), retry ONCE with the
-            # pre-round-3 XLA-side input cast so the graded number cannot
-            # regress to the XLA line.
-            print(f'# bench: retrying {backend!r} with '
-                  'nerf.lean_input_cast=True', file=sys.stderr, flush=True)
-            result, _ = _run_child(backend, timeout,
-                                   {'BENCH_LEAN_INPUT_CAST': '1',
-                                    'BENCH_CHANNEL_MAJOR': '0'})
-            if result is not None:
-                result['fallback'] = 'lean_input_cast'
+        result, timed_out, stderr = _run_child(backend, timeout)
+        if result is None and backend != 'xla':
+            for name, env in ladder:
+                if timed_out or _is_vmem_oom(stderr):
+                    break
+                print(f'# bench: retrying {backend!r} with fallback '
+                      f'{name!r}', file=sys.stderr, flush=True)
+                result, timed_out, stderr = _run_child(backend, timeout, env)
+                if result is not None:
+                    result['fallback'] = name
+                    break
         if result is None:
             continue
         if best is None or result['value'] > best['value']:

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""On-chip COMPILED-kernel numerical parity gate (VERDICT r3 weak #3).
+
+All Pallas-vs-XLA equivalence tests run in interpret mode on CPU; compiled
+Mosaic lowering was exercised on-chip only by throughput benches, which
+never check numerics — a Mosaic miscompile would ship a fast wrong number.
+This tool closes that gap on the real chip:
+
+  1. ONE-STEP GRADIENT PARITY: value_and_grad of the full train loss on an
+     identical batch, XLA backend vs the production Pallas backend
+     (pallas_lean_save + channel_major + fuse_encode).  Asserts per-leaf
+     relative gradient error under --grad_tol (bf16 matmul order noise is
+     ~1e-3; a miscompile is orders of magnitude larger).
+  2. TRAJECTORY PARITY: N optimization steps from the same init with the
+     same per-step batches/keys on both backends.  bf16 accumulation-order
+     differences compound chaotically, so the gate compares the SMOOTHED
+     loss trajectory (window mean) and the total loss-decrease factor,
+     not per-step values.
+
+Writes PARITY_CHIP.json at the repo root and exits non-zero on failure.
+Usage: python tools/parity_chip.py [--steps 200] [--out PARITY_CHIP.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _make_batches(batch_size, k, seed=0):
+    from mipnerf_pl_tpu.rays import Rays
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(k, batch_size, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ones = np.ones((k, batch_size, 1), np.float32)
+    rays = Rays(
+        origins=(rng.normal(size=(k, batch_size, 3)) * 0.1).astype(np.float32),
+        directions=d, viewdirs=d, radii=ones * 0.005, lossmult=ones,
+        near=ones * 2.0, far=ones * 6.0)
+    pixels = rng.uniform(size=(k, batch_size, 3)).astype(np.float32)
+    return rays, pixels
+
+
+def _rel_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--steps', type=int, default=200)
+    ap.add_argument('--batch', type=int, default=3072)
+    ap.add_argument('--grad_tol', type=float, default=3e-2,
+                    help='max per-leaf relative grad error (bf16 order '
+                         'noise at the lego shape measures ~1e-3)')
+    ap.add_argument('--window', type=int, default=25)
+    ap.add_argument('--traj_tol', type=float, default=0.15,
+                    help='max relative deviation of windowed mean losses')
+    ap.add_argument('--backend', default='pallas_lean_save')
+    ap.add_argument('--out', default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        'PARITY_CHIP.json'))
+    args = ap.parse_args()
+
+    import mipnerf_pl_tpu  # noqa: F401
+    from mipnerf_pl_tpu.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+
+    from mipnerf_pl_tpu.config import default
+    from mipnerf_pl_tpu.parallel.mesh import stacked_batch_sharding
+    from mipnerf_pl_tpu.train.system import MipNeRFSystem
+
+    report = {'tool': 'parity_chip', 'steps': args.steps,
+              'batch': args.batch, 'backend': args.backend,
+              'platform': str(jax.devices()[0].device_kind),
+              'checks': {}}
+    failures = []
+
+    systems = {}
+    for backend in ('xla', args.backend):
+        hp = default()
+        hp['train.compute_dtype'] = 'bfloat16'
+        hp['nerf.mlp_backend'] = backend
+        systems[backend] = MipNeRFSystem(hp)
+
+    # ---- check 1: one-step gradient parity on an identical batch --------
+    rays, pixels = _make_batches(args.batch, 1)
+    key = jax.random.PRNGKey(7)
+    grads = {}
+    for backend, system in systems.items():
+        state = system.init_state()     # same seed -> identical params
+        r1 = jax.tree.map(
+            lambda x: jax.device_put(x[0], system.batch_sharding), rays)
+        p1 = jax.device_put(pixels[0], system.batch_sharding)
+        gfn = jax.jit(lambda p, r, px, k, s=system: jax.value_and_grad(
+            s.loss_fn, has_aux=True)(p, r, px, k))
+        (loss, _), g = gfn(state['params'], r1, p1, key)
+        grads[backend] = (float(loss), jax.device_get(g))
+    loss_x, g_x = grads['xla']
+    loss_p, g_p = grads[args.backend]
+    leaves_x = jax.tree_util.tree_leaves_with_path(g_x)
+    leaves_p = jax.tree.leaves(g_p)
+    per_leaf = {}
+    for (path, a), b in zip(leaves_x, leaves_p):
+        name = ''.join(str(k) for k in path)
+        per_leaf[name] = _rel_err(b, a)
+    worst = max(per_leaf.values())
+    report['checks']['grad_parity'] = {
+        'loss_xla': loss_x, 'loss_pallas': loss_p,
+        'loss_rel_err': abs(loss_p - loss_x) / (abs(loss_x) + 1e-12),
+        'max_leaf_rel_err': worst, 'tol': args.grad_tol,
+        'worst_leaves': dict(sorted(per_leaf.items(),
+                                    key=lambda kv: -kv[1])[:5]),
+        'ok': worst <= args.grad_tol,
+    }
+    if worst > args.grad_tol:
+        failures.append(f'grad parity: max leaf rel err {worst:.3e} > '
+                        f'{args.grad_tol}')
+
+    # ---- check 2: N-step trajectory parity ------------------------------
+    rays, pixels = _make_batches(args.batch, args.steps, seed=1)
+    trajs = {}
+    for backend, system in systems.items():
+        sh = stacked_batch_sharding(system.mesh)
+        r = jax.tree.map(lambda x: jax.device_put(x, sh), rays)
+        px = jax.device_put(pixels, sh)
+        state = system.init_state()
+        train_many = system.make_train_many(donate=True)
+        t0 = time.time()
+        state, aux = train_many(state, r, px, jax.random.PRNGKey(0))
+        losses = np.asarray(aux['loss'], np.float64)
+        trajs[backend] = losses
+        print(f'# {backend}: {args.steps} steps in {time.time() - t0:.1f}s '
+              f'loss {losses[0]:.5f} -> {losses[-1]:.5f}', file=sys.stderr,
+              flush=True)
+    lx, lp = trajs['xla'], trajs[args.backend]
+    w = args.window
+    n_win = args.steps // w
+    wx = lx[:n_win * w].reshape(n_win, w).mean(axis=1)
+    wp = lp[:n_win * w].reshape(n_win, w).mean(axis=1)
+    win_rel = np.abs(wp - wx) / (np.abs(wx) + 1e-12)
+    decrease_x = float(lx[:w].mean() / lx[-w:].mean())
+    decrease_p = float(lp[:w].mean() / lp[-w:].mean())
+    report['checks']['trajectory'] = {
+        'windowed_loss_xla': [round(float(v), 6) for v in wx],
+        'windowed_loss_pallas': [round(float(v), 6) for v in wp],
+        'max_window_rel_dev': float(win_rel.max()),
+        'tol': args.traj_tol,
+        'loss_decrease_factor_xla': decrease_x,
+        'loss_decrease_factor_pallas': decrease_p,
+        'ok': bool(win_rel.max() <= args.traj_tol),
+    }
+    if win_rel.max() > args.traj_tol:
+        failures.append(f'trajectory: max windowed rel dev '
+                        f'{win_rel.max():.3f} > {args.traj_tol}')
+
+    report['ok'] = not failures
+    report['failures'] = failures
+    with open(args.out, 'w') as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({'ok': report['ok'],
+                      'grad_max_leaf_rel_err': worst,
+                      'traj_max_window_rel_dev': float(win_rel.max()),
+                      'out': args.out}), flush=True)
+    sys.exit(0 if report['ok'] else 1)
+
+
+if __name__ == '__main__':
+    main()
