@@ -79,8 +79,15 @@ def main(args):
         if idx % args.scale == 0:
             n += 1
         rays, rgb_gt = test_dataset[idx]
-        out = system.render_image(state['params'], rays,
-                                  chunk_size=args.chunk_size)
+        # On-device ray generation (~100 B/frame host->device instead of
+        # the materialized bundle); rays stay as the metrics mask source.
+        try:
+            cam, (ch, cw) = test_dataset.camera(idx)
+            out = system.render_camera(state['params'], cam, ch, cw,
+                                       chunk_size=args.chunk_size)
+        except NotImplementedError:
+            out = system.render_image(state['params'], rays,
+                                      chunk_size=args.chunk_size)
         height, width = out['fine_rgb'].shape[:2]
         psnr_val, ssim_val = eval_errors(
             out['fine_rgb'][None], np.asarray(rgb_gt[..., :3])[None])

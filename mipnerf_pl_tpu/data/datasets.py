@@ -117,6 +117,17 @@ class BaseDataset:
         assert self.split == 'train'
         return self.images.shape[0]
 
+    def camera(self, index):
+        """(Camera, (h, w)) for on-device ray generation (ops/camera.py).
+
+        The TPU-native render path: ~100 bytes of pose/intrinsics cross the
+        host->device link instead of the ~60 bytes/ray materialized bundle
+        (38 MB/frame at 800px).  Subclasses fold their grid/axis conventions
+        into `Camera.pix2cam`; parity with the host `_generate_rays` is
+        pinned in tests/test_camera.py.
+        """
+        raise NotImplementedError
+
     def sample_batch(self, rng: np.random.Generator, batch_size: int):
         """Gather a random ray batch (train split only).
 
@@ -197,6 +208,16 @@ class Multicam(BaseDataset):
             near=per_image_scalar('near'),
             far=per_image_scalar('far'))
 
+    def camera(self, index):
+        from mipnerf_pl_tpu.ops.camera import Camera, fold_pixel_center
+        return Camera(
+            c2w=self.meta['cam2world'][index][:3, :4].astype(np.float32),
+            pix2cam=fold_pixel_center(self.meta['pix2cam'][index]),
+            near=np.float32(self.meta['near'][index]),
+            far=np.float32(self.meta['far'][index]),
+            lossmult=np.float32(self.meta['lossmult'][index]),
+        ), (int(self.meta['height'][index]), int(self.meta['width'][index]))
+
 
 class Blender(BaseDataset):
     """Single-scale NeRF-synthetic dataset (transforms_{split}.json).
@@ -261,6 +282,15 @@ class Blender(BaseDataset):
             lossmult=const(1.0),
             near=const(self.near),
             far=const(self.far))
+
+    def camera(self, index):
+        from mipnerf_pl_tpu.ops.camera import Camera, pix2cam_from_focal
+        return Camera(
+            c2w=np.asarray(self.camtoworlds[index][:3, :4], np.float32),
+            pix2cam=pix2cam_from_focal(self.w, self.h, self.focal),
+            near=np.float32(self.near), far=np.float32(self.far),
+            lossmult=np.float32(1.0),
+        ), (self.h, self.w)
 
 
 class RealData360(BaseDataset):
@@ -378,6 +408,16 @@ class RealData360(BaseDataset):
             lossmult=[np.ones_like(o[..., :1]) for o in origins],
             near=per_image_scalar(self.bds[:, 0]),
             far=per_image_scalar(self.bds[:, 1]))
+
+    def camera(self, index):
+        from mipnerf_pl_tpu.ops.camera import Camera, fold_pixel_center
+        return Camera(
+            c2w=np.asarray(self.camtoworlds[index][:3, :4], np.float32),
+            pix2cam=fold_pixel_center(self.K_inv.astype(np.float32)),
+            near=np.float32(self.bds[index, 0]),
+            far=np.float32(self.bds[index, 1]),
+            lossmult=np.float32(1.0),
+        ), (self.h, self.w)
 
 dataset_dict = {
     'blender': Blender,

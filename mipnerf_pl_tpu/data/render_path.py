@@ -16,6 +16,40 @@ from mipnerf_pl_tpu.rays import Rays
 from mipnerf_pl_tpu.utils.vis import create_spheric_poses
 
 
+def spheric_render_cameras(base_focal: float, base_size: Tuple[int, int],
+                           scales: int = 1, radius: float = 4.0,
+                           n_poses: int = 120, near: float = 2.0,
+                           far: float = 6.0):
+    """Camera-form twin of `spheric_render_rays`: per-frame (Camera, (h, w))
+    for the on-device ray path (ops/camera.py), scale-major order.
+
+    ~100 bytes/frame crosses the host->device link instead of the full ray
+    bundle; numerically pinned against spheric_render_rays in
+    tests/test_camera.py.
+    """
+    from mipnerf_pl_tpu.ops.camera import Camera, fold_pixel_center
+    cam2world = create_spheric_poses(radius, n_poses)
+
+    out = []
+    for i in range(scales):
+        w = int(base_size[0] / 2 ** i)
+        h = int(base_size[1] / 2 ** i)
+        focal = base_focal / 2 ** i
+        fx = fy = focal
+        cx, cy = w * 0.5, h * 0.5
+        pix2cam = fold_pixel_center(np.array([
+            [1.0 / fx, 0.0, -cx / fx],
+            [0.0, -1.0 / fy, cy / fy],
+            [0.0, 0.0, -1.0],
+        ], dtype=np.float32))
+        for c2w in cam2world:
+            cam = Camera(c2w=c2w[:3, :4].astype(np.float32),
+                         pix2cam=pix2cam, near=np.float32(near),
+                         far=np.float32(far), lossmult=np.float32(1.0))
+            out.append((cam, (h, w)))
+    return out
+
+
 def spheric_render_rays(base_focal: float, base_size: Tuple[int, int],
                         scales: int = 1, radius: float = 4.0,
                         n_poses: int = 120, near: float = 2.0,

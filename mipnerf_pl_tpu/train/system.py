@@ -166,6 +166,7 @@ class MipNeRFSystem:
 
         self._train_step = None
         self._render_chunk = None
+        self._render_cam_jits = {}
         self.train_dataset = None
         self.val_dataset = None
 
@@ -371,6 +372,75 @@ class MipNeRFSystem:
             self._render_chunk = _render
         return self._render_chunk
 
+    def _render_camera_jit(self, h: int, w: int, chunk: int):
+        """Jitted camera->image render, cached per (h, w, chunk).
+
+        The whole pipeline — ray generation from ~100 bytes of pose/
+        intrinsics (ops/camera.py), edge-pad, chunking, and the lax.map'd
+        model forward — runs in ONE device program.  Rays never exist on
+        the host: tools/render_probe.py measured the materialized-ray
+        host->device path at ~1.3 s/frame at 800px on this link, a third
+        of the full render (reference ships the full bundle every frame,
+        eval.py:49-78)."""
+        key_ = (h, w, chunk)
+        fn = self._render_cam_jits.get(key_)
+        if fn is None:
+            n = h * w
+            n_chunks = -(-n // chunk)
+            pad = n_chunks * chunk - n
+            constrain = self.mesh.shape.get('data', 1) > 1
+
+            @jax.jit
+            def _render(params, cam, key):
+                from mipnerf_pl_tpu.ops.camera import camera_rays
+                rays = camera_rays(cam, h, w)
+                flat = namedtuple_map(
+                    lambda x: x.reshape(n, x.shape[-1]), rays)
+                if pad:
+                    # Edge-pad with the last ray (valid geometry, results
+                    # sliced away by the caller) to keep shapes static.
+                    flat = namedtuple_map(lambda x: jnp.concatenate(
+                        [x, jnp.broadcast_to(x[-1:], (pad, x.shape[-1]))],
+                        axis=0), flat)
+                stack = namedtuple_map(
+                    lambda x: x.reshape(n_chunks, chunk, x.shape[-1]), flat)
+                if constrain:
+                    stack = namedtuple_map(
+                        lambda x: jax.lax.with_sharding_constraint(
+                            x, self.stacked_sharding), stack)
+
+                def one(args):
+                    idx, rays = args
+                    ret = self.eval_model.apply(
+                        params, rays, jax.random.fold_in(key, idx),
+                        self.val_randomized, self.white_bkgd)
+                    coarse, fine = ret[0], ret[-1]
+                    return (coarse.rgb, fine.rgb, fine.distance, fine.acc)
+                return jax.lax.map(one, (jnp.arange(n_chunks), stack))
+
+            fn = self._render_cam_jits[key_] = _render
+        return fn
+
+    def render_camera(self, params, cam, h: int, w: int,
+                      key: Optional[jax.Array] = None,
+                      chunk_size: Optional[int] = None):
+        """Full-image render from a Camera -> dict of numpy images.
+
+        Same outputs as `render_image`, but rays are generated ON DEVICE
+        from the camera (pose + intrinsics) inside the render jit."""
+        chunk_size = chunk_size or self.val_chunk_size
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        outs = self._render_camera_jit(h, w, chunk_size)(params, cam, key)
+        coarse_rgb, fine_rgb, dist, acc = [
+            np.asarray(o).reshape(-1, *o.shape[2:])[:h * w] for o in outs]
+        return {
+            'coarse_rgb': coarse_rgb.reshape(h, w, 3),
+            'fine_rgb': fine_rgb.reshape(h, w, 3),
+            'distance': dist.reshape(h, w),
+            'acc': acc.reshape(h, w),
+        }
+
     def render_image(self, params, rays: Rays,
                      key: Optional[jax.Array] = None,
                      chunk_size: Optional[int] = None):
@@ -407,7 +477,16 @@ class MipNeRFSystem:
         n = len(self.val_dataset)
         for i in range(num_images):
             rays, rgb_gt = self.val_dataset[(start_index + i) % n]
-            out = self.render_image(state['params'], rays)
+            out = None
+            cam_fn = getattr(self.val_dataset, 'camera', None)
+            if cam_fn is not None:
+                try:
+                    cam, (ch, cw) = cam_fn((start_index + i) % n)
+                    out = self.render_camera(state['params'], cam, ch, cw)
+                except NotImplementedError:
+                    pass
+            if out is None:
+                out = self.render_image(state['params'], rays)
             gt = rgb_gt[..., :3]
             mask = np.asarray(rays.lossmult)
             mask_b = np.broadcast_to(mask, (*gt.shape[:-1], 1))

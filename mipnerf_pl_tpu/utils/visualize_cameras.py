@@ -116,10 +116,113 @@ def visualize_cameras(camera_sets, out_path: str,
     return out_path
 
 
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>camera frusta</title><style>
+body{margin:0;background:#111;color:#ccc;font:12px monospace;overflow:hidden}
+#hud{position:fixed;top:8px;left:8px;user-select:none}
+canvas{display:block;cursor:grab}
+</style></head><body>
+<div id="hud">drag: orbit &nbsp; wheel: zoom &nbsp; shift-drag: pan</div>
+<canvas id="c"></canvas>
+<script>
+const SEGS = __SEGS__;   // [[x0,y0,z0,x1,y1,z1,"color"], ...]
+const cv = document.getElementById('c'), g = cv.getContext('2d');
+let yaw = 0.7, pitch = 0.4, dist = __DIST__, panX = 0, panY = 0;
+function resize(){cv.width = innerWidth; cv.height = innerHeight; draw();}
+function proj(p, R){
+  const x = R[0]*p[0]+R[1]*p[1]+R[2]*p[2];
+  const y = R[3]*p[0]+R[4]*p[1]+R[5]*p[2];
+  const z = R[6]*p[0]+R[7]*p[1]+R[8]*p[2] + dist;
+  if (z <= 0.05) return null;
+  const f = 0.9 * Math.min(cv.width, cv.height) / z;
+  return [cv.width/2 + f*x + panX, cv.height/2 - f*y + panY];
+}
+function draw(){
+  g.fillStyle = '#111'; g.fillRect(0, 0, cv.width, cv.height);
+  const cy = Math.cos(yaw), sy = Math.sin(yaw);
+  const cp = Math.cos(pitch), sp = Math.sin(pitch);
+  // R = Rx(pitch) @ Ry(yaw), row-major.
+  const R = [cy, 0, sy,  sy*sp, cp, -cy*sp,  -sy*cp, sp, cy*cp];
+  for (const s of SEGS){
+    const a = proj([s[0], s[1], s[2]], R), b = proj([s[3], s[4], s[5]], R);
+    if (!a || !b) continue;
+    g.strokeStyle = s[6]; g.globalAlpha = 0.85; g.lineWidth = 1;
+    g.beginPath(); g.moveTo(a[0], a[1]); g.lineTo(b[0], b[1]); g.stroke();
+  }
+}
+let drag = null;
+cv.onmousedown = e => drag = [e.clientX, e.clientY, e.shiftKey];
+onmouseup = () => drag = null;
+onmousemove = e => { if (!drag) return;
+  const dx = e.clientX - drag[0], dy = e.clientY - drag[1];
+  if (drag[2]) { panX += dx; panY += dy; }
+  else { yaw += dx * 0.01;
+         pitch = Math.max(-1.55, Math.min(1.55, pitch + dy * 0.01)); }
+  drag = [e.clientX, e.clientY, drag[2]]; draw(); };
+cv.onwheel = e => { dist *= Math.exp(e.deltaY * 0.001); draw();
+                    e.preventDefault(); };
+onresize = resize; resize();
+</script></body></html>
+"""
+
+
+def _sphere_segments(radius: float, color: str = '#555'):
+    """Wireframe lat/long segments of the scale sphere."""
+    segs = []
+    for v in np.linspace(0.3, np.pi - 0.3, 5):          # latitude rings
+        pts = [(radius * np.cos(u) * np.sin(v), radius * np.sin(u)
+                * np.sin(v), radius * np.cos(v))
+               for u in np.linspace(0, 2 * np.pi, 25)]
+        segs += [[*pts[i], *pts[i + 1], color] for i in range(len(pts) - 1)]
+    for u in np.linspace(0, np.pi, 4, endpoint=False):  # longitude rings
+        pts = [(radius * np.cos(u) * np.sin(v), radius * np.sin(u)
+                * np.sin(v), radius * np.cos(v))
+               for v in np.linspace(0, 2 * np.pi, 25)]
+        segs += [[*pts[i], *pts[i + 1], color] for i in range(len(pts) - 1)]
+    return segs
+
+
+def export_html(camera_sets, out_path: str, sphere_radius: float = 1.0,
+                spheric_path: bool = False, frustum_length: float = 0.5):
+    """Interactive, dependency-free HTML frustum viewer (drag-to-orbit).
+
+    The reference inspects cameras interactively with open3d
+    (utils/visualize_cameras.py:1-221), which needs a display; this writes
+    a self-contained HTML file (embedded JS canvas renderer, zero external
+    assets) that gives the same orbit/zoom/pan inspection in any browser —
+    produced fully headless.
+    """
+    segs = _sphere_segments(sphere_radius)
+    extent = [sphere_radius]
+    for color, cams in camera_sets:
+        for size, focal, c2w in cams:
+            points, lines = get_camera_frustum(size, focal, c2w,
+                                               frustum_length)
+            segs += [[*points[a], *points[b], color] for a, b in lines]
+            extent.append(float(np.abs(points).max()))
+    if spheric_path:
+        from mipnerf_pl_tpu.utils.vis import create_spheric_poses
+        for p in create_spheric_poses(4.0):
+            points, lines = get_camera_frustum(
+                (800, 800), 1111.0, np.vstack([p, [0, 0, 0, 1]]),
+                frustum_length)
+            segs += [[*points[a], *points[b], 'red'] for a, b in lines]
+            extent.append(float(np.abs(points).max()))
+    segs = [[round(float(v), 4) for v in s[:6]] + [s[6]] for s in segs]
+    html = (_HTML_TEMPLATE
+            .replace('__SEGS__', json.dumps(segs, separators=(',', ':')))
+            .replace('__DIST__', f'{3.0 * max(extent):.3f}'))
+    with open(out_path, 'w') as f:
+        f.write(html)
+    return out_path
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--data_dir', required=True)
-    parser.add_argument('--out', default='cameras.png')
+    parser.add_argument('--out', default='cameras.png',
+                        help='output path; a .html extension writes the '
+                             'interactive orbit viewer instead of a PNG')
     parser.add_argument('--split', default='train')
     parser.add_argument('--multi_scale', action='store_true',
                         help='dataset is a multi-scale metadata.json dir')
@@ -132,8 +235,12 @@ def main():
     else:
         size, focal, c2ws = load_blender_cameras(args.data_dir, args.split)
         cams = [(size, focal, c2w) for c2w in c2ws]
-    path = visualize_cameras([('green', cams)], args.out,
-                             spheric_path=args.spheric_path)
+    if args.out.endswith('.html'):
+        path = export_html([('#4caf50', cams)], args.out,
+                           spheric_path=args.spheric_path)
+    else:
+        path = visualize_cameras([('green', cams)], args.out,
+                                 spheric_path=args.spheric_path)
     print(f'wrote {path}')
 
 

@@ -58,7 +58,7 @@ def run_render(args):
     from mipnerf_pl_tpu.compile_cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from mipnerf_pl_tpu.data.render_path import spheric_render_rays
+    from mipnerf_pl_tpu.data.render_path import spheric_render_cameras
     from mipnerf_pl_tpu.train.ckpt import load_hparams, restore_for_eval
     from mipnerf_pl_tpu.train.system import MipNeRFSystem
     from mipnerf_pl_tpu.utils.vis import save_images
@@ -74,19 +74,19 @@ def run_render(args):
                                  str(2 ** i)), exist_ok=True)
 
     focal = 0.5 * args.base_size[0] / np.tan(0.5 * args.camera_angle_x)
-    all_rays = spheric_render_rays(focal, args.base_size, args.scale,
-                                   n_poses=args.n_poses)
-    nums = len(all_rays) // args.scale
+    all_cams = spheric_render_cameras(focal, args.base_size, args.scale,
+                                      n_poses=args.n_poses)
+    nums = len(all_cams) // args.scale
 
-    for idx, rays in enumerate(all_rays):
-        out = system.render_image(state['params'], rays,
-                                  chunk_size=args.chunk_size)
+    for idx, (cam, (h, w)) in enumerate(all_cams):
+        out = system.render_camera(state['params'], cam, h, w,
+                                   chunk_size=args.chunk_size)
         width = out['fine_rgb'].shape[1]
         out_path = os.path.join(args.out_dir, 'render_spheric', exp_name,
                                 str(int(args.base_size[0] / width)))
         save_images(out['fine_rgb'], out['distance'], out['acc'],
                     out_path, idx % nums)
-        print(f'rendered frame {idx + 1}/{len(all_rays)}', flush=True)
+        print(f'rendered frame {idx + 1}/{len(all_cams)}', flush=True)
     generate_video(os.path.join(args.out_dir, 'render_spheric', exp_name))
 
 

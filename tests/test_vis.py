@@ -79,6 +79,23 @@ def test_visualize_cameras_writes_png(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_export_html_interactive_viewer(tmp_path):
+    from mipnerf_pl_tpu.utils.visualize_cameras import export_html
+    scene = make_blender_scene(str(tmp_path / 's'), n_frames=3, size=8)
+    size, focal, c2ws = load_blender_cameras(scene)
+    cams = [(size, focal, c2w) for c2w in c2ws]
+    out = export_html([('#4caf50', cams)], str(tmp_path / 'cams.html'),
+                      spheric_path=True)
+    html = open(out).read()
+    assert html.startswith('<!DOCTYPE html>')
+    # Embedded segment data: 8 segments per frustum, 3 cams + 120 orbit
+    # poses + the wireframe sphere — all self-contained (no external src).
+    assert html.count('"#4caf50"') == 3 * 8
+    assert html.count('"red"') == 120 * 8
+    assert 'src=' not in html
+    assert os.path.getsize(out) > 10000
+
+
 def test_vis_lr_plot(tmp_path):
     from mipnerf_pl_tpu.train.schedule import mip_lr_decay
     fn = mip_lr_decay(5e-4, 5e-6, 10000, 250, 0.01)
