@@ -84,10 +84,12 @@ def main(args):
         try:
             cam, (ch, cw) = test_dataset.camera(idx)
             out = system.render_camera(state['params'], cam, ch, cw,
-                                       chunk_size=args.chunk_size)
+                                       chunk_size=args.chunk_size,
+                                       need_coarse=False)
         except NotImplementedError:
             out = system.render_image(state['params'], rays,
-                                      chunk_size=args.chunk_size)
+                                      chunk_size=args.chunk_size,
+                                      need_coarse=False)
         height, width = out['fine_rgb'].shape[:2]
         psnr_val, ssim_val = eval_errors(
             out['fine_rgb'][None], np.asarray(rgb_gt[..., :3])[None])

@@ -165,8 +165,17 @@ class MipNeRFSystem:
         self.disable_multiscale_loss = hparams['loss.disable_multiscale_loss']
 
         self._train_step = None
-        self._render_chunk = None
+        self._render_chunk_jits = {}
         self._render_cam_jits = {}
+        # Device-side output packing for full-image renders.  The fetch
+        # rides a ~20 MB/s tunnel here (tools/render_probe.py: 20.7 MB =
+        # 1.06 s/frame at 800px, a quarter of the render); f16 halves the
+        # payload at ~1.5e-4 abs quantization error on [0,1] rgb — orders
+        # of magnitude under the MSE of any real prediction (40 dB PSNR =
+        # 1e-4 MSE), so PSNR/SSIM are unchanged to reported precision.
+        # 'float32' opts out.
+        self.fetch_dtype = jnp.dtype(
+            self.hparams.get('val.fetch_dtype', 'float16'))
         self.train_dataset = None
         self.val_dataset = None
 
@@ -342,8 +351,26 @@ class MipNeRFSystem:
         return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
     # -- rendering --------------------------------------------------------------
-    @property
-    def render_chunks_scanned(self):
+    def _pack_outputs(self, coarse, fine, need_coarse: bool):
+        """Select + downcast the per-chunk outputs fetched to the host.
+
+        eval.py / render_video.py only consume the fine level; validate()
+        needs the coarse rgb too.  Packing happens IN the jit so the
+        dropped/f16 channels never cross the link (see fetch_dtype note in
+        __init__)."""
+        outs = (fine.rgb, fine.distance, fine.acc)
+        if need_coarse:
+            outs = (coarse.rgb,) + outs
+        return tuple(jnp.asarray(o, self.fetch_dtype) for o in outs)
+
+    def _unpack_outputs(self, outs, n_valid, need_coarse: bool):
+        arrs = [np.asarray(o, np.float32).reshape(-1, *o.shape[2:])[:n_valid]
+                for o in outs]
+        names = (['coarse_rgb'] if need_coarse else []) + \
+            ['fine_rgb', 'distance', 'acc']
+        return dict(zip(names, arrs))
+
+    def render_chunks_scanned(self, need_coarse: bool = True):
         """Jitted lax.map over [C, chunk, ...] stacked ray chunks.
 
         One dispatch + one fetch per image instead of per chunk — the same
@@ -352,7 +379,8 @@ class MipNeRFSystem:
         rendering any image size with one compiled executable per chunk
         size (reference analog: rearrange_render_image, models/mip.py:404-421).
         """
-        if self._render_chunk is None:
+        fn = self._render_chunk_jits.get(need_coarse)
+        if fn is None:
             @jax.jit
             def _render(params, rays_stack, key):
                 n_chunks = jax.tree_util.tree_leaves(rays_stack)[0].shape[0]
@@ -366,13 +394,13 @@ class MipNeRFSystem:
                                                 jax.random.fold_in(key, idx),
                                                 self.val_randomized,
                                                 self.white_bkgd)
-                    coarse, fine = ret[0], ret[-1]
-                    return (coarse.rgb, fine.rgb, fine.distance, fine.acc)
+                    return self._pack_outputs(ret[0], ret[-1], need_coarse)
                 return jax.lax.map(one, (jnp.arange(n_chunks), rays_stack))
-            self._render_chunk = _render
-        return self._render_chunk
+            fn = self._render_chunk_jits[need_coarse] = _render
+        return fn
 
-    def _render_camera_jit(self, h: int, w: int, chunk: int):
+    def _render_camera_jit(self, h: int, w: int, chunk: int,
+                           need_coarse: bool = True):
         """Jitted camera->image render, cached per (h, w, chunk).
 
         The whole pipeline — ray generation from ~100 bytes of pose/
@@ -382,7 +410,7 @@ class MipNeRFSystem:
         host->device path at ~1.3 s/frame at 800px on this link, a third
         of the full render (reference ships the full bundle every frame,
         eval.py:49-78)."""
-        key_ = (h, w, chunk)
+        key_ = (h, w, chunk, need_coarse)
         fn = self._render_cam_jits.get(key_)
         if fn is None:
             n = h * w
@@ -414,8 +442,7 @@ class MipNeRFSystem:
                     ret = self.eval_model.apply(
                         params, rays, jax.random.fold_in(key, idx),
                         self.val_randomized, self.white_bkgd)
-                    coarse, fine = ret[0], ret[-1]
-                    return (coarse.rgb, fine.rgb, fine.distance, fine.acc)
+                    return self._pack_outputs(ret[0], ret[-1], need_coarse)
                 return jax.lax.map(one, (jnp.arange(n_chunks), stack))
 
             fn = self._render_cam_jits[key_] = _render
@@ -423,27 +450,27 @@ class MipNeRFSystem:
 
     def render_camera(self, params, cam, h: int, w: int,
                       key: Optional[jax.Array] = None,
-                      chunk_size: Optional[int] = None):
+                      chunk_size: Optional[int] = None,
+                      need_coarse: bool = True):
         """Full-image render from a Camera -> dict of numpy images.
 
         Same outputs as `render_image`, but rays are generated ON DEVICE
-        from the camera (pose + intrinsics) inside the render jit."""
+        from the camera (pose + intrinsics) inside the render jit.  With
+        need_coarse=False the coarse rgb is neither fetched nor in the
+        returned dict (eval/render_video fast path)."""
         chunk_size = chunk_size or self.val_chunk_size
         if key is None:
             key = jax.random.PRNGKey(0)
-        outs = self._render_camera_jit(h, w, chunk_size)(params, cam, key)
-        coarse_rgb, fine_rgb, dist, acc = [
-            np.asarray(o).reshape(-1, *o.shape[2:])[:h * w] for o in outs]
-        return {
-            'coarse_rgb': coarse_rgb.reshape(h, w, 3),
-            'fine_rgb': fine_rgb.reshape(h, w, 3),
-            'distance': dist.reshape(h, w),
-            'acc': acc.reshape(h, w),
-        }
+        outs = self._render_camera_jit(h, w, chunk_size,
+                                       need_coarse)(params, cam, key)
+        out = self._unpack_outputs(outs, h * w, need_coarse)
+        return {k: v.reshape(h, w, 3) if v.ndim == 2 else v.reshape(h, w)
+                for k, v in out.items()}
 
     def render_image(self, params, rays: Rays,
                      key: Optional[jax.Array] = None,
-                     chunk_size: Optional[int] = None):
+                     chunk_size: Optional[int] = None,
+                     need_coarse: bool = True):
         """Chunked full-image render -> dict of numpy images.
 
         Fixed-shape chunks (last one edge-padded) are stacked and scanned
@@ -460,15 +487,10 @@ class MipNeRFSystem:
         from mipnerf_pl_tpu.parallel.mesh import put_global
         stack = namedtuple_map(
             lambda x: put_global(x, self.stacked_sharding), stack)
-        outs = self.render_chunks_scanned(params, stack, key)
-        coarse_rgb, fine_rgb, dist, acc = [
-            np.asarray(o).reshape(-1, *o.shape[2:])[:n_valid] for o in outs]
-        return {
-            'coarse_rgb': coarse_rgb.reshape(h, w, 3),
-            'fine_rgb': fine_rgb.reshape(h, w, 3),
-            'distance': dist.reshape(h, w),
-            'acc': acc.reshape(h, w),
-        }
+        outs = self.render_chunks_scanned(need_coarse)(params, stack, key)
+        out = self._unpack_outputs(outs, n_valid, need_coarse)
+        return {k: v.reshape(h, w, 3) if v.ndim == 2 else v.reshape(h, w)
+                for k, v in out.items()}
 
     def validate(self, state, num_images: int, writer=None,
                  global_step: int = 0, start_index: int = 0):

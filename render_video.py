@@ -80,7 +80,8 @@ def run_render(args):
 
     for idx, (cam, (h, w)) in enumerate(all_cams):
         out = system.render_camera(state['params'], cam, h, w,
-                                   chunk_size=args.chunk_size)
+                                   chunk_size=args.chunk_size,
+                                   need_coarse=False)
         width = out['fine_rgb'].shape[1]
         out_path = os.path.join(args.out_dir, 'render_spheric', exp_name,
                                 str(int(args.base_size[0] / width)))

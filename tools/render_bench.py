@@ -59,7 +59,8 @@ def main():
         cam = Camera(c2w=c2w, pix2cam=pix2cam_from_focal(w, h, focal),
                      near=np.float32(2.0), far=np.float32(6.0),
                      lossmult=np.float32(1.0))
-        render = lambda: system.render_camera(state['params'], cam, h, w)
+        render = lambda: system.render_camera(state['params'], cam, h, w,
+                                              need_coarse=False)
     else:
         # Materialized full-image ray bundle (reference-style shipping).
         rng = np.random.default_rng(0)
@@ -70,7 +71,8 @@ def main():
             origins=(rng.normal(size=(h, w, 3)) * 0.1).astype(np.float32),
             directions=d, viewdirs=d, radii=ones * 0.005,
             lossmult=ones, near=ones * 2.0, far=ones * 6.0)
-        render = lambda: system.render_image(state['params'], rays)
+        render = lambda: system.render_image(state['params'], rays,
+                                             need_coarse=False)
 
     for _ in range(2):   # compile + steady-state warmup
         out = render()

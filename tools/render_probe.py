@@ -79,7 +79,7 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def device_only():
-        outs = system.render_chunks_scanned(params, stack_dev, key)
+        outs = system.render_chunks_scanned()(params, stack_dev, key)
         jax.block_until_ready(outs)
         return outs
 
