@@ -466,38 +466,116 @@ def _cmajor_spec(channels, tile):
 
 
 def _encode_matrices(min_deg: int, max_deg: int, num_dims: int = 3):
-    """Trace-time constants of the fused encode: (comb [2*D, 2*F],
+    """Trace-time constants of the fused encode: (comb [2*D, Fa + Fpad],
     phase [F]) with F = 2 * (max_deg - min_deg) * D.  comb's top rows map
     means -> sin/cos arguments (columns :F), bottom rows map diagonal covs
-    -> variance ladder (columns F:)."""
+    -> variance ladder (columns Fa:Fa+F), where Fa = F rounded UP to the
+    128-lane tile: the variance block then starts on a lane-tile boundary,
+    so the kernel's z[:, Fa:] slice is a free aligned view instead of the
+    cross-lane shuffle a z[:, 96:] slice lowers to on the VPU."""
     L = max_deg - min_deg
     D = num_dims
     F = 2 * L * D
+    Fa = ((F + 127) // 128) * 128
     scales = np.asarray([2.0 ** i for i in range(min_deg, max_deg)])
     sel = np.tile(np.eye(D), (1, L))
     s = sel * np.repeat(scales, D)[None, :]              # [D, L*D]
     s2 = np.concatenate([s, s], axis=1)                  # [D, F]
-    comb = np.zeros((2 * D, 2 * F), np.float32)
+    comb = np.zeros((2 * D, Fa + F), np.float32)
     comb[:D, :F] = s2
-    comb[D:, F:] = s2 * s2
+    comb[D:, Fa:] = s2 * s2
     phase = np.concatenate([np.zeros(L * D),
                             np.full(L * D, 0.5 * np.pi)]).astype(np.float32)
     return comb, phase
 
 
+# Fast in-kernel transcendentals.  Mosaic's exp/sin lower to long
+# generic sequences (~40 cycles/lane-element measured: the exp+sin of one
+# fused-encode level costs 0.83 s per 800x800 frame, ~38 Gop/s, identical
+# to XLA's fusion rate — tools/trace_render.py + a stubbed-decode timing
+# run).  The encode's arguments are benign (sin args |y| <~ 2^18 from
+# 2^max_deg * scene coords; exp args <= 0), so short polynomials with
+# explicit range reduction beat the libm-style lowering ~3x:
+#   * _fast_exp: exp(x), x <= 0 — exponent-bit construction 2^k via
+#     int shift+bitcast, degree-6 exp2 polynomial on the fraction
+#     (~1 ulp relative error; underflows to 0 below 2^-126).
+#   * _fast_sin: 4-term Cody-Waite 2*pi reduction (each constant has an
+#     8-bit mantissa so products with the quotient r <= 2^15 stay exact
+#     in f32) + odd degree-11 minimax polynomial on [-pi, pi]
+#     (<= ~1e-6 absolute error for |y| <= 2^17, measured vs f64).
+# Coefficients were least-squares fit in f64 and validated in f32 Horner
+# arithmetic (max |err|: exp 1.2e-7 rel, sin 1.1e-6 abs at |y|=2^17).
+
+_EXP2_POLY = (1.0000000044246224, 0.6931469138636562, 0.24023030894734468,
+              0.05548214848461723, 0.009679987432619325,
+              0.0012437935946014247, 0.00021683440307878395)
+_SIN_POLY = (0.9999997070349279, -0.16666577217490788, 0.008332558132552199,
+             -0.0001981257593077941, 2.704051697679347e-06,
+             -2.0534265066427463e-08)
+_TWO_PI_CW = (6.28125, 0.001934051513671875, 1.2558884918689728e-06,
+              -2.2257751197685138e-10)
+_INV_TWO_PI = 0.15915494309189535
+_LOG2_E = 1.4426950408889634
+
+
+def _fast_exp(x):
+    """exp(x) for x <= 0, f32 (~1 ulp relative; 0 below the normal range)."""
+    t = jnp.maximum(x * np.float32(_LOG2_E), -126.0)
+    kf = jnp.floor(t)
+    f = t - kf
+    scale = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(kf.astype(jnp.int32) + 127, 23), jnp.float32)
+    p = jnp.full_like(f, np.float32(_EXP2_POLY[-1]))
+    for cco in _EXP2_POLY[-2::-1]:
+        p = p * f + np.float32(cco)
+    return scale * p
+
+
+def _fast_sin(y):
+    """sin(y) for |y| <= ~2^18, f32 (<= ~1e-6 absolute vs f64)."""
+    r = jnp.floor(y * np.float32(_INV_TWO_PI) + 0.5)
+    t = y
+    for pc in _TWO_PI_CW:
+        t = t - r * np.float32(pc)
+    t2 = t * t
+    p = jnp.full_like(t, np.float32(_SIN_POLY[-1]))
+    for cco in _SIN_POLY[-2::-1]:
+        p = p * t2 + np.float32(cco)
+    return p * t
+
+
 def _decode_moments(m, comb, phase):
     """[2*D, T] f32 moments tile -> [T, F] f32 IPE encode (ops/math.py:
-    integrated_pos_enc diagonal path, same value pipeline: exact one-hot
-    ladder matmul at HIGHEST, then the full-width exp*sin fusion).
+    integrated_pos_enc diagonal path; values agree to ~1e-6 absolute —
+    the fast transcendentals above replace libm-exact exp/sin).
     comb/phase are the `_encode_matrices` constants, passed as (tiny)
     VMEM-resident kernel inputs — Pallas kernels cannot capture array
-    constants."""
-    z = jax.lax.dot_general(
-        m, comb, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)             # [T, 2F]
-    F = comb.shape[1] // 2
-    return jnp.exp(-0.5 * z[:, F:]) * jnp.sin(z[:, :F] + phase)
+    constants.
+
+    The ladder matmul runs as a 3-way bf16 mantissa split instead of a
+    HIGHEST-precision f32 dot: comb is one-hot (every output element is a
+    single product m * 2^k, and 2^k / 2^2k are exactly representable in
+    bf16), so with m = a + b + c split into three 8-bit mantissa chunks
+    each bf16 pass computes an exact partial product and the f32
+    accumulation reconstructs the full f32 product exactly — same result,
+    3 MXU passes instead of HIGHEST's 6 f32-emulation passes (the dot's
+    K=6 pads to the 128-lane MXU tile, so every avoided pass is ~21x
+    padding waste)."""
+    a = m.astype(jnp.bfloat16)
+    r = m - a.astype(jnp.float32)
+    b = r.astype(jnp.bfloat16)
+    c = (r - b.astype(jnp.float32)).astype(jnp.bfloat16)
+    cb = comb.astype(jnp.bfloat16)
+
+    def dot_bf(lhs):
+        return jax.lax.dot_general(
+            lhs, cb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [T, Fa + F]
+
+    z = dot_bf(a) + dot_bf(b) + dot_bf(c)
+    F = phase.shape[-1]
+    Fa = z.shape[-1] - F
+    return _fast_exp(-0.5 * z[:, Fa:]) * _fast_sin(z[:, :F] + phase)
 
 
 def _load_x(x_ref, enc_refs, cfg):

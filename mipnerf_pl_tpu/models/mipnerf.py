@@ -134,11 +134,14 @@ class MipNerf(nn.Module):
     # never exists in HBM and the XLA encode fusion disappears.  Engages
     # under the same preconditions as the lean fast path (diagonal IPE
     # only: not unbounded, default ipe_backend); silently inert otherwise.
-    # Default False: measured SLOWER in training (34.4 vs 28.4 ms/step at
-    # the lego shape — the in-kernel decode recompute on the fwd+bwd
-    # critical path costs more than the boundary stream it removes;
-    # DESIGN.md §13).  Kept as an opt-in: correct (tests/test_fused_mlp)
-    # and the right boundary for forward-only/TP regimes.
+    # Default False: measured SLOWER in training (34.4-45.4 ms/step vs
+    # 28.4 at the lego shape across decode variants — the in-kernel decode
+    # recompute on the fwd+bwd critical path costs more than the boundary
+    # stream it removes; DESIGN.md §13/§15).  Forward-only it WINS (the
+    # fast-polynomial in-kernel IPE removes the 0.83 s/frame exp/sin cost
+    # of an 800x800 render): train/system.py turns it on for the eval
+    # model whenever val.mlp_backend='auto' resolves to the fused lean
+    # render path.
     fuse_encode: bool = False
 
     def setup(self):

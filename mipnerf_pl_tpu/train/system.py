@@ -84,6 +84,22 @@ def profiler_supported() -> bool:
     return jax.default_backend() in ('cpu', 'gpu', 'tpu')
 
 
+def _render_fusion_ok(hparams: Dict[str, Any]) -> bool:
+    """True when the fused render+encode lean megakernel supports this
+    model config (mirrors the MipNerf.setup gating for _fused_render /
+    _fused_encode, models/mipnerf.py) — the condition under which
+    val.mlp_backend='auto' picks it over the XLA forward."""
+    return (bool(hparams['nerf.use_viewdirs'])
+            and str(hparams['nerf.rgb_activation']) == 'sigmoid'
+            and str(hparams['nerf.density_activation']) == 'softplus'
+            and float(hparams['nerf.density_noise']) == 0.0
+            and str(hparams['nerf.mlp.net_activation']) == 'relu'
+            and int(hparams['nerf.mlp.num_rgb_channels']) == 3
+            and int(hparams['nerf.mlp.num_density_channels']) == 1
+            and not bool(hparams.get('nerf.unbounded', False))
+            and str(hparams.get('nerf.ipe_backend', 'xla')) == 'xla')
+
+
 def _dummy_rays(batch_size: int = 4) -> Rays:
     o = jnp.zeros((batch_size, 3), jnp.float32)
     d = jnp.concatenate([jnp.zeros((batch_size, 2)),
@@ -108,15 +124,20 @@ class MipNeRFSystem:
         # from training's (no backward grid-sync, no saved streams);
         # tools/render_bench.py is the evidence base (PARITY.md "Render
         # path"):
-        #   'auto'  -> the measured-fastest render backend (currently XLA:
-        #              the compiler-fused forward)
+        #   'auto'  -> the measured-fastest render backend: the fused
+        #              render+encode lean megakernel when the model's fusion
+        #              preconditions hold (2.34 s/frame at 800x800 vs the
+        #              XLA forward's 2.88 — the in-kernel fast-polynomial
+        #              IPE removes the 0.83 s/frame libm exp+sin cost,
+        #              kernels/mlp.py _fast_exp/_fast_sin), else XLA
         #   'xla' | 'pallas_lean' | 'pallas_lean_save' -> explicit choice
         #              (lean backends render through the fuse_render level
         #              megakernel — per-ray outputs never touch HBM)
         train_backend = str(hparams.get('nerf.mlp_backend', 'xla'))
         val_backend = str(hparams.get('val.mlp_backend', 'auto') or 'auto')
         if val_backend == 'auto':
-            val_backend = 'xla'
+            val_backend = ('pallas_lean' if _render_fusion_ok(hparams)
+                           else 'xla')
         if (val_backend != train_backend
                 or val_backend.startswith('pallas_lean')):
             eval_hp = dict(hparams)
@@ -124,8 +145,18 @@ class MipNeRFSystem:
             if val_backend.startswith('pallas_lean'):
                 # Per-ray outputs never touch HBM; forward-only the fused
                 # composite is pure win (no backward grid-sync cost, which
-                # is what made it lose in training — DESIGN.md §10).
+                # is what made it lose in training — DESIGN.md §10).  Same
+                # story for the fused in-VMEM encode: its decode recompute
+                # loses in training's fwd+bwd but wins forward-only (the
+                # [M, 96] stream and the XLA exp/sin fusion both disappear).
+                # Both gate themselves off inside the model when their
+                # preconditions fail.  Eval computes no gradients, so the
+                # lean family's stop_resample_grad requirement is moot —
+                # force it to keep setup() from raising when training ran
+                # with resample gradients enabled.
                 eval_hp['nerf.fuse_render'] = True
+                eval_hp['nerf.fuse_encode'] = True
+                eval_hp['nerf.stop_resample_grad'] = True
             self.eval_model = make_mipnerf_from_hparams(eval_hp,
                                                         compute_dtype)
         else:

@@ -747,8 +747,11 @@ def test_fused_mlp_lean_encode_matches_manual(mode, cmajor):
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_m),
                                rtol=1e-5, atol=1e-6)
     for a, b in zip(g_f, g_m):
+        # atol 2e-4: the in-kernel decode's fast exp/sin are ~1e-6-absolute
+        # approximations of libm (kernels/mlp.py _fast_exp/_fast_sin), which
+        # shows up amplified in near-zero gradient entries.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=2e-4, atol=2e-4)
 
 
 def test_fused_mlp_lean_encode_padding():

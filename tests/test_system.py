@@ -180,10 +180,12 @@ def test_checkpoint_topk_retention(tmp_path, system, scene):
     mgr.close()
 
 
-def test_render_uses_xla_backend_for_pallas_training(tmp_path):
-    """Training with a Pallas MLP backend must not slow rendering: the
-    system renders val/eval images through an XLA-backend twin model with
-    the SAME params (trees are interchangeable)."""
+def test_render_backend_auto_selection(tmp_path):
+    """val.mlp_backend='auto' must pick the measured-fastest render path:
+    the fused render+encode lean megakernel when the model's fusion
+    preconditions hold (PARITY.md "Render path": 2.30 vs 2.88 s/frame),
+    the XLA twin otherwise — and the twin stays one explicit knob away.
+    Param trees are interchangeable across the choices."""
     from tests.helpers import make_blender_scene, tiny_hparams
 
     scene = make_blender_scene(str(tmp_path / 's'), n_frames=2, size=8)
@@ -191,10 +193,21 @@ def test_render_uses_xla_backend_for_pallas_training(tmp_path):
     hp['nerf.mlp_backend'] = 'pallas_lean_save'
     system = MipNeRFSystem(hp)
     assert system.model.mlp_backend == 'pallas_lean_save'
-    assert system.eval_model.mlp_backend == 'xla'
+    assert system.eval_model.mlp_backend == 'pallas_lean'
+    assert system.eval_model.fuse_render and system.eval_model.fuse_encode
     system.setup(scene, 'blender', prefetch=0)
     state = system.init_state()
     rays, _ = system.val_dataset[0]
     out = system.render_image(state['params'], rays)
     img = out['fine_rgb']
     assert img.shape[-1] == 3 and np.all(np.isfinite(np.asarray(img)))
+
+    # A config outside the fusion preconditions falls back to the XLA twin.
+    hp_nofuse = dict(hp)
+    hp_nofuse['nerf.density_noise'] = 1.0
+    assert MipNeRFSystem(hp_nofuse).eval_model.mlp_backend == 'xla'
+
+    # Explicit choice always wins over auto.
+    hp_xla = dict(hp)
+    hp_xla['val.mlp_backend'] = 'xla'
+    assert MipNeRFSystem(hp_xla).eval_model.mlp_backend == 'xla'
