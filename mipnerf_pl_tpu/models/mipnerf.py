@@ -143,6 +143,17 @@ class MipNerf(nn.Module):
     # model whenever val.mlp_backend='auto' resolves to the fused lean
     # render path.
     fuse_encode: bool = False
+    # Fast range-reduced polynomial exp/sin (ops/fastmath.py) for the
+    # XLA-side IPE encode when a lean megakernel consumes it: the encode's
+    # two [M, 2*L*D] exp·sin fusions are the training step's largest
+    # non-matmul cost (3.27 ms/step at the lego shape; DESIGN.md §16), the
+    # polynomials run them ~3x faster, and the ~1e-6 approximation error is
+    # invisible under the kernel's own bf16 input cast (~4e-3 quantization)
+    # — with stop_resample_grad (which the lean family requires) the
+    # encode's cotangent path is dead, so only forward values matter.
+    # Inert for the exact backends (xla/pallas/pallas_save keep libm
+    # exp/sin and golden-test parity).
+    fast_encode_math: bool = True
 
     def setup(self):
         if (self.mlp_backend in ('pallas_lean', 'pallas_lean_save',
@@ -198,6 +209,13 @@ class MipNerf(nn.Module):
             self.fuse_encode
             and self._fused_act
             and self.mlp_backend in ('pallas_lean', 'pallas_lean_save')
+            and not self.unbounded
+            and self.ipe_backend == 'xla')
+        # Fast-math XLA encode: lean consumers only (see fast_encode_math).
+        self._fast_encode_math = (
+            self.fast_encode_math
+            and self.mlp_backend in ('pallas_lean', 'pallas_lean_save')
+            and self.use_viewdirs          # lean path engages only then
             and not self.unbounded
             and self.ipe_backend == 'xla')
         mlp_cls = nn.remat(MLP) if self.remat == 'mlp' else MLP
@@ -304,7 +322,8 @@ class MipNerf(nn.Module):
                                         self.min_deg_point, self.max_deg_point)
             else:
                 samples_enc = integrated_pos_enc(
-                    means_covs, self.min_deg_point, self.max_deg_point)
+                    means_covs, self.min_deg_point, self.max_deg_point,
+                    fast_transcendentals=self._fast_encode_math)
 
             # In unbounded mode t_samples carries t_inv; composite over the
             # ascending world-space distances.
@@ -406,4 +425,5 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         channel_major=bool(hparams.get('nerf.channel_major', True)),
         lean_input_cast=bool(hparams.get('nerf.lean_input_cast', False)),
         fuse_encode=bool(hparams.get('nerf.fuse_encode', False)),
+        fast_encode_math=bool(hparams.get('nerf.fast_encode_math', True)),
     )

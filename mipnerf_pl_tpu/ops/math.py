@@ -193,7 +193,8 @@ def expected_sin_var(x, x_var):
 
 
 def integrated_pos_enc(means_covs, min_deg: int, max_deg: int,
-                       diagonal: bool = True):
+                       diagonal: bool = True,
+                       fast_transcendentals: bool = False):
     """Integrated positional encoding: E[sin(2^k x)] under a Gaussian.
 
     Parity: reference models/mip.py:322-350.  Output layout matches the
@@ -220,6 +221,16 @@ def integrated_pos_enc(means_covs, min_deg: int, max_deg: int,
     use 48 of 128 lanes.)  Values are bit-identical to the reference
     ordering: each matmul output element is a single product, and the
     sin(y + pi/2) == cos(y) trick is the reference's own.
+
+    fast_transcendentals=True swaps exp/sin for the short range-reduced
+    polynomials in ops/fastmath.py (~1e-6 absolute error — far below the
+    ~4e-3 bf16 quantization the lean megakernels apply to this encode one
+    op later).  XLA's generic exp+sin lowering is the training step's
+    single largest non-matmul cost (3.27 ms/step at the lego shape, two
+    [M, 96] fusions — tools/trace_step.py, DESIGN.md §16); the polynomials
+    run the same fusion ~3x faster.  Only meaningful on the diagonal path
+    (the 360/full-covariance branch is not on any hot path); exact exp/sin
+    are kept there.
     """
     if diagonal:
         means, covs_diag = means_covs
@@ -239,7 +250,11 @@ def integrated_pos_enc(means_covs, min_deg: int, max_deg: int,
         y2 = jnp.matmul(means.reshape(-1, num_dims), s2, precision=hi)
         yv2 = jnp.matmul(covs_diag.reshape(-1, num_dims), s2 * s2,
                          precision=hi)
-        enc = jnp.exp(-0.5 * yv2) * jnp.sin(y2 + phase)
+        if fast_transcendentals:
+            from mipnerf_pl_tpu.ops.fastmath import fast_exp, fast_sin
+            enc = fast_exp(-0.5 * yv2) * fast_sin(y2 + phase)
+        else:
+            enc = jnp.exp(-0.5 * yv2) * jnp.sin(y2 + phase)
         return enc.reshape(*lead, enc.shape[-1])
     else:
         means, x_cov = means_covs

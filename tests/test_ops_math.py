@@ -224,3 +224,73 @@ def test_cast_rays_cmajor_matches_cast_rays():
         np.testing.assert_array_equal(
             np.asarray(m[3:]), np.moveaxis(np.asarray(covs), -1, 0),
             err_msg=f'{shape} covs')
+
+
+def test_fastmath_exp_accuracy():
+    """fast_exp must hold ~1 ulp relative error over the IPE's full argument
+    range (x <= 0; -0.5 * yv2 reaches ~-8e4 at max_deg=16 lego covariances,
+    where both sides underflow toward 0)."""
+    from mipnerf_pl_tpu.ops.fastmath import fast_exp
+
+    x = jnp.asarray(
+        -np.concatenate([np.zeros(1),
+                         np.logspace(-6, np.log10(87.0), 4001)])
+        .astype(np.float32))
+    got = np.asarray(fast_exp(x))
+    want = np.exp(np.asarray(x, dtype=np.float64))
+    # ~1 ulp through the normal range; a few-ulp drift appears only at the
+    # subnormal boundary (|exp| ~ 1e-38), far below any encode value that
+    # survives the bf16 cast.
+    np.testing.assert_allclose(got, want, rtol=5e-6)
+    # Deep-underflow arguments must clamp to the 2^-126 floor, not produce
+    # garbage from the exponent-bit construction wrapping.
+    assert float(fast_exp(jnp.float32(-1e4))) <= 2.0 ** -126
+
+
+def test_fastmath_sin_accuracy():
+    """fast_sin must hold <= ~1e-6 absolute error up to |y| ~ 2^17 (the
+    encode's sin arguments reach 2^max_deg * scene coords)."""
+    from mipnerf_pl_tpu.ops.fastmath import fast_sin
+
+    rng = np.random.default_rng(3)
+    y = rng.uniform(-2.0 ** 17, 2.0 ** 17, size=20001).astype(np.float32)
+    y[:7] = [0.0, np.pi, -np.pi, 0.5 * np.pi, -0.5 * np.pi, 1.0, -1.0]
+    got = np.asarray(fast_sin(jnp.asarray(y)))
+    want = np.sin(np.asarray(y, dtype=np.float64))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=0)
+
+
+def test_ipe_fast_transcendentals_matches_exact():
+    """integrated_pos_enc(fast_transcendentals=True) must agree with the
+    exact path to well under the lean kernels' bf16 input quantization
+    (~4e-3) — the invisibility argument that lets training default to it."""
+    rng = np.random.default_rng(4)
+    means = jnp.asarray(rng.normal(scale=1.5, size=(6, 5, 3))
+                        .astype(np.float32))
+    covs = jnp.asarray(rng.uniform(0.0, 0.05, size=(6, 5, 3))
+                       .astype(np.float32))
+    exact = m.integrated_pos_enc((means, covs), 0, 16)
+    fast = m.integrated_pos_enc((means, covs), 0, 16,
+                                fast_transcendentals=True)
+    assert fast.shape == exact.shape
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               atol=5e-6, rtol=0)
+
+
+def test_model_fast_encode_math_gating():
+    """fast_encode_math engages exactly for the lean megakernel consumers
+    (whose bf16 input cast makes the ~1e-6 polynomial error invisible) and
+    never for the exact backends."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+
+    def gate(**kw):
+        model = MipNerf(**kw)
+        return model.bind({'params': {}})._fast_encode_math  # noqa: SLF001
+
+    assert gate(mlp_backend='pallas_lean_save')
+    assert gate(mlp_backend='pallas_lean')
+    assert not gate(mlp_backend='xla')
+    assert not gate(mlp_backend='pallas')
+    assert not gate(mlp_backend='pallas_lean_save', fast_encode_math=False)
+    assert not gate(mlp_backend='pallas_lean_save', unbounded=True)
+    assert not gate(mlp_backend='pallas_lean_save', use_viewdirs=False)
