@@ -205,15 +205,24 @@ class MipNerf(nn.Module):
         # the icosahedral basis + contraction; ipe_backend='pallas' is the
         # standalone opt-in kernel).  disable_integration still works — the
         # covariance rows of the moments stream are zeroed instead.
+        # Both fast-transcendental paths (the in-kernel fused encode and the
+        # fast-math XLA encode) use _fast_sin's 4-term Cody-Waite reduction,
+        # exact only while the reduction quotient fits ~15 bits — i.e. sin
+        # args |y| <= 2^max_deg * scene-coords ~ 2^18.  Beyond max_deg 16
+        # the r*constant products go inexact SILENTLY, so gate on it and
+        # fall back to exact libm exp/sin (ADVICE r4).
+        fastmath_ok = self.max_deg_point <= 16
         self._fused_encode = (
             self.fuse_encode
             and self._fused_act
+            and fastmath_ok
             and self.mlp_backend in ('pallas_lean', 'pallas_lean_save')
             and not self.unbounded
             and self.ipe_backend == 'xla')
         # Fast-math XLA encode: lean consumers only (see fast_encode_math).
         self._fast_encode_math = (
             self.fast_encode_math
+            and fastmath_ok
             and self.mlp_backend in ('pallas_lean', 'pallas_lean_save')
             and self.use_viewdirs          # lean path engages only then
             and not self.unbounded

@@ -96,6 +96,10 @@ def _render_fusion_ok(hparams: Dict[str, Any]) -> bool:
             and str(hparams['nerf.mlp.net_activation']) == 'relu'
             and int(hparams['nerf.mlp.num_rgb_channels']) == 3
             and int(hparams['nerf.mlp.num_density_channels']) == 1
+            # The lean render kernel hard-raises on net_depth_condition < 1
+            # (kernels/mlp.py fused_mlp_lean_render — the view branch is the
+            # head-boundary layout); such configs render via the XLA twin.
+            and int(hparams['nerf.mlp.net_depth_condition']) >= 1
             and not bool(hparams.get('nerf.unbounded', False))
             and str(hparams.get('nerf.ipe_backend', 'xla')) == 'xla')
 
@@ -533,11 +537,16 @@ class MipNeRFSystem:
             out = None
             cam_fn = getattr(self.val_dataset, 'camera', None)
             if cam_fn is not None:
+                # Catch NotImplementedError ONLY around the dataset accessor
+                # ("this dataset has no single-camera form") — a raise from
+                # inside the render itself (e.g. an activation guard) is a
+                # real misconfiguration and must propagate.
                 try:
                     cam, (ch, cw) = cam_fn((start_index + i) % n)
-                    out = self.render_camera(state['params'], cam, ch, cw)
                 except NotImplementedError:
-                    pass
+                    cam = None
+                if cam is not None:
+                    out = self.render_camera(state['params'], cam, ch, cw)
             if out is None:
                 out = self.render_image(state['params'], rays)
             gt = rgb_gt[..., :3]

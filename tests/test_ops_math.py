@@ -294,3 +294,14 @@ def test_model_fast_encode_math_gating():
     assert not gate(mlp_backend='pallas_lean_save', fast_encode_math=False)
     assert not gate(mlp_backend='pallas_lean_save', unbounded=True)
     assert not gate(mlp_backend='pallas_lean_save', use_viewdirs=False)
+    # _fast_sin's Cody-Waite reduction is exact only to |args| ~ 2^18;
+    # beyond max_deg 16 both fast paths must fall back to exact libm
+    # exp/sin (ADVICE r4).
+    assert not gate(mlp_backend='pallas_lean_save', max_deg_point=18)
+
+    def gate_fused(**kw):
+        model = MipNerf(fuse_encode=True, **kw)
+        return model.bind({'params': {}})._fused_encode  # noqa: SLF001
+
+    assert gate_fused(mlp_backend='pallas_lean')
+    assert not gate_fused(mlp_backend='pallas_lean', max_deg_point=18)

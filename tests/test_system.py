@@ -211,3 +211,23 @@ def test_render_backend_auto_selection(tmp_path):
     hp_xla = dict(hp)
     hp_xla['val.mlp_backend'] = 'xla'
     assert MipNeRFSystem(hp_xla).eval_model.mlp_backend == 'xla'
+
+
+def test_render_auto_skips_fusion_without_view_branch(tmp_path):
+    """net_depth_condition=0 is a config the XLA MLP supports but the lean
+    render kernel hard-raises on — 'auto' must route it to the XLA twin
+    and the render must actually work (ADVICE r4, medium)."""
+    from tests.helpers import make_blender_scene, tiny_hparams
+
+    scene = make_blender_scene(str(tmp_path / 's'), n_frames=2, size=8)
+    hp = tiny_hparams()
+    hp['nerf.mlp.net_depth_condition'] = 0
+    system = MipNeRFSystem(hp)
+    assert system.eval_model.mlp_backend == 'xla'
+    system.setup(scene, 'blender', prefetch=0)
+    state = system.init_state()
+    rays, _ = system.val_dataset[0]
+    out = system.render_image(state['params'], rays)
+    assert np.all(np.isfinite(np.asarray(out['fine_rgb'])))
+
+
