@@ -24,7 +24,9 @@ second child), BENCH_XLA_TIMEOUT / BENCH_PALLAS_TIMEOUT (seconds),
 BENCH_K (steps per dispatch), BENCH_BATCH (smoke-testing only),
 BENCH_FUSE_RENDER (opt-in experiment), BENCH_FUSE_ENCODE=0 (disable the
 round-4 in-kernel IPE), BENCH_NET_WIDTH (TP-sizing measurements at
-non-reference trunk widths; DESIGN.md §11).
+non-reference trunk widths; DESIGN.md §11), BENCH_PARITY=0 (skip the
+on-chip grad-parity gate that guards every pallas measurement; see
+_parity_gate) and BENCH_PARITY_TOL (its leaf tolerance, default 3e-2).
 
 vs_baseline: the denominator is an estimate of the reference PyTorch code on
 an A100 (the reference publishes no speed numbers and no GPU exists here).
@@ -105,6 +107,45 @@ def _child_main(backend: str):
     _run(hparams)
 
 
+def _parity_gate(system, hparams, rays, pixels, tol):
+    """On-chip one-step grad-parity gate (VERDICT r4 weak #1c): before
+    timing a pallas backend, value_and_grad the full train loss on one
+    identical batch through it AND the XLA backend and compare every grad
+    leaf.  A Mosaic/lowering miscompile would ship a fast wrong number;
+    this catches it in the same child that produces the graded line.  The
+    result is echoed in the bench JSON (parity_ok) and the parent discards
+    the line on failure, falling back to the already-printed XLA number."""
+    import time as _time
+
+    import jax
+
+    from mipnerf_pl_tpu.train.system import MipNeRFSystem
+
+    t0 = _time.perf_counter()
+    hp = dict(hparams)
+    hp['nerf.mlp_backend'] = 'xla'
+    grads = {}
+    for name, s in (('xla', MipNeRFSystem(hp, mesh=system.mesh)),
+                    ('pallas', system)):
+        state = s.init_state()    # same seed -> identical params
+        r = jax.tree.map(lambda x: jax.device_put(x, s.batch_sharding), rays)
+        px = jax.device_put(pixels, s.batch_sharding)
+        gfn = jax.jit(lambda p, r_, px_, k, s=s: jax.value_and_grad(
+            s.loss_fn, has_aux=True)(p, r_, px_, k))
+        (_, _), g = gfn(state['params'], r, px, jax.random.PRNGKey(7))
+        grads[name] = jax.device_get(g)
+    worst = 0.0
+    for a, b in zip(jax.tree.leaves(grads['xla']),
+                    jax.tree.leaves(grads['pallas'])):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        worst = max(worst, float(np.linalg.norm(b - a)
+                                 / (np.linalg.norm(a) + 1e-12)))
+    return {'parity_ok': bool(worst <= tol),
+            'parity_max_leaf_rel_err': round(worst, 6),
+            'parity_gate_s': round(_time.perf_counter() - t0, 1)}
+
+
 def _run(hparams):
     import jax
 
@@ -122,6 +163,16 @@ def _run(hparams):
     rays = Rays(origins=rng.normal(size=(batch_size, 3)).astype(np.float32) * 0.1,
                 directions=d, viewdirs=d, radii=ones * 0.005, lossmult=ones,
                 near=ones * 2.0, far=ones * 6.0)
+    pixels1 = rng.uniform(size=(batch_size, 3)).astype(np.float32)
+
+    parity = None
+    if (str(hparams['nerf.mlp_backend']) != 'xla'
+            and os.environ.get('BENCH_PARITY', '1') != '0'):
+        parity = _parity_gate(
+            system, hparams, rays, pixels1,
+            tol=float(os.environ.get('BENCH_PARITY_TOL', '3e-2')))
+        print(f'# parity gate: {parity}', file=sys.stderr, flush=True)
+
     # K-step scanned trainer: one dispatch = K on-device steps (the tunnel
     # to the TPU has ~30 ms dispatch/sync latency; scanning amortizes it).
     # Measured K=25 -> 75.7k rays/s, K=100 -> 76.2k (+0.7%); 100 is default.
@@ -132,9 +183,7 @@ def _run(hparams):
         lambda x: jax.device_put(
             np.broadcast_to(x[None], (K, *x.shape)).copy(), stack_sh), rays)
     pixels = jax.device_put(
-        np.broadcast_to(
-            rng.uniform(size=(batch_size, 3)).astype(np.float32)[None],
-            (K, batch_size, 3)).copy(), stack_sh)
+        np.broadcast_to(pixels1[None], (K, batch_size, 3)).copy(), stack_sh)
 
     state = system.init_state()
     key = jax.random.PRNGKey(0)
@@ -170,6 +219,8 @@ def _run(hparams):
         # Off-reference shape: self-describe so a TP-sizing row can never be
         # mistaken for the graded lego-shape number.
         line['net_width'] = int(hparams['nerf.mlp.net_width'])
+    if parity is not None:
+        line.update(parity)
     print(json.dumps(line), flush=True)
 
 
@@ -260,6 +311,13 @@ def main():
                     result['fallback'] = name
                     break
         if result is None:
+            continue
+        if result.get('parity_ok') is False:
+            # The on-chip grad-parity gate failed: a fast wrong number.
+            # The XLA line already printed stands as the graded result.
+            print(f'# bench: {backend!r} FAILED the grad-parity gate (max '
+                  f'leaf rel err {result.get("parity_max_leaf_rel_err")}); '
+                  'discarding its measurement', file=sys.stderr, flush=True)
             continue
         if best is None or result['value'] > best['value']:
             best = result
