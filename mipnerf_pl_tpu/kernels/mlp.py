@@ -1355,11 +1355,14 @@ def _ray_reduce(x_col, seg):
     return _dot_hi(seg, x_col, ((0,), (0,)))
 
 
-def _composite_parts(sigma_a, delta_col, seg, q, cfg):
-    """sigma_a / delta_col [T, 1] f32 -> (dd, alpha, trans, w) [R, N] and
-    w_col [T, 1]."""
+def _composite_parts(sigma_a, delta_rays, seg, q, cfg):
+    """sigma_a [T, 1] / delta_rays [R, N] f32 -> (dd, alpha, trans, w)
+    [R, N] and w_col [T, 1].  delta arrives as a full-lane per-ray plane
+    (its natural producer layout — no [M, 2] lane-padded stream), so the
+    sigma*delta product happens after the col->plane conversion; identical
+    values (the conversion is a one-hot relabeling)."""
     N = cfg['num_samples']
-    dd = _col_to_rays(sigma_a * delta_col, seg, q)
+    dd = _col_to_rays(sigma_a, seg, q) * delta_rays
     alpha = 1.0 - jnp.exp(-dd)
     s_excl = _dot_hi(dd, _strict_tri(N, upper=True), ((1,), (0,)))
     trans = jnp.exp(-s_excl)
@@ -1367,28 +1370,30 @@ def _composite_parts(sigma_a, delta_col, seg, q, cfg):
     return dd, alpha, trans, w, _rays_to_col(w, seg, q)
 
 
-def _lean_composite(rgb_a, sigma_a, delta_col, mids_col, cfg):
+def _lean_composite(rgb_a, sigma_a, delta_rays, mids_rays, cfg):
     """Per-ray composite: -> (perray [R, 8] = comp_rgb | acc | dist_raw |
     3 zero pad lanes, weights [R, N]).  dist_raw is the UNCLAMPED expected
     distance — the reference's nan_to_num + clip runs outside on the tiny
-    [B] tensor.  comp/acc/dist come out of ONE [T, 5] -> [R, 5] reduce
-    matmul (distinct small dot shapes cost MXU reconfiguration bubbles)."""
+    [B] tensor.  comp/acc come out of ONE [T, 4] -> [R, 4] reduce matmul;
+    dist is a lane reduce of w * mids in the per-ray plane (mids never
+    needs a per-sample column)."""
     N = cfg['num_samples']
     T = rgb_a.shape[0]
     seg, q = _seg_mats(T, N)
-    _, _, _, w, w_col = _composite_parts(sigma_a, delta_col, seg, q, cfg)
+    _, _, _, w, w_col = _composite_parts(sigma_a, delta_rays, seg, q, cfg)
     stacked = jnp.concatenate(
-        [rgb_a, jnp.ones_like(mids_col), mids_col], axis=-1)     # [T, 5]
-    red = _ray_reduce(w_col * stacked, seg)                      # [R, 5]
+        [rgb_a, jnp.ones_like(sigma_a)], axis=-1)                # [T, 4]
+    red = _ray_reduce(w_col * stacked, seg)                      # [R, 4]
     comp, acc = red[:, :3], red[:, 3:4]
+    dist = jnp.sum(w * mids_rays, axis=-1, keepdims=True)        # [R, 1]
     if cfg['render']['white_bkgd']:
         comp = comp + (1.0 - acc)
     perray = jnp.concatenate(
-        [comp, red[:, 3:5], jnp.zeros_like(red[:, :3])], axis=-1)
+        [comp, acc, dist, jnp.zeros_like(comp)], axis=-1)
     return perray, w
 
 
-def _lean_render_head_cotangents(rgb_a, sigma_a, delta_col, mids_col,
+def _lean_render_head_cotangents(rgb_a, sigma_a, delta_rays, mids_rays,
                                  g_perray, g_w_in, cfg):
     """Backward of _lean_composite: packed per-ray cotangents
     (g_perray [R, 8] = g_comp | g_acc | g_dist | pad, g_w_in [R, N]) ->
@@ -1396,31 +1401,31 @@ def _lean_render_head_cotangents(rgb_a, sigma_a, delta_col, mids_col,
     N = cfg['num_samples']
     T = rgb_a.shape[0]
     seg, q = _seg_mats(T, N)
-    dd, alpha, trans, w, w_col = _composite_parts(sigma_a, delta_col,
+    dd, alpha, trans, w, w_col = _composite_parts(sigma_a, delta_rays,
                                                   seg, q, cfg)
     g_comp = g_perray[:, :3]
     ga = g_perray[:, 3:4]
     if cfg['render']['white_bkgd']:
         ga = ga - jnp.sum(g_comp, axis=-1, keepdims=True)
-    # Column-space accumulation of every per-ray cotangent's contribution
-    # to g_w: one [R, 5] -> [T, 5] broadcast matmul, one multiply, one
-    # lane reduce.
-    g_rows = _per_ray(
-        jnp.concatenate([ga, g_perray[:, 4:5], g_comp], axis=-1), seg)
+    # dist's contribution to g_w lives in the per-ray plane; acc's and
+    # comp's accumulate in column space via one [R, 4] -> [T, 4]
+    # broadcast matmul, one multiply, one lane reduce.
+    g_rows = _per_ray(jnp.concatenate([ga, g_comp], axis=-1), seg)  # [T, 4]
     mult = jnp.concatenate(
-        [jnp.ones_like(mids_col), mids_col, rgb_a], axis=-1)     # [T, 5]
+        [jnp.ones_like(sigma_a), rgb_a], axis=-1)                # [T, 4]
     g_w_col = jnp.sum(g_rows * mult, axis=-1, keepdims=True)
-    g_w = g_w_in + _col_to_rays(g_w_col, seg, q)
+    g_w = (g_w_in + g_perray[:, 4:5] * mids_rays
+           + _col_to_rays(g_w_col, seg, q))
     g_alpha = g_w * trans
     g_s_excl = -trans * (g_w * alpha)
     g_dd = jnp.exp(-dd) * g_alpha + _dot_hi(
         g_s_excl, _strict_tri(N, upper=False), ((1,), (0,)))
-    g_rgb_a = w_col * g_rows[:, 2:5]
-    g_sigma_a = _rays_to_col(g_dd, seg, q) * delta_col
+    g_rgb_a = w_col * g_rows[:, 1:4]
+    g_sigma_a = _rays_to_col(g_dd * delta_rays, seg, q)
     return g_rgb_a, g_sigma_a
 
 
-def _fwd_kernel_lean_render(x_ref, view_ref, dm_ref, *refs,
+def _fwd_kernel_lean_render(x_ref, view_ref, delta_ref, mids_ref, *refs,
                             cfg, save: bool):
     n_params = cfg['n_params']
     ne = _n_enc(cfg)
@@ -1429,16 +1434,16 @@ def _fwd_kernel_lean_render(x_ref, view_ref, dm_ref, *refs,
     x = _load_x(x_ref, refs[n_params:n_params + ne], cfg)
     rgb, density, hs, ys, bottleneck = _fwd_body_lean(
         x, view_ref[:], params, cfg)          # activated (cfg['act'] set)
-    dm = dm_ref[:]                            # [T, 2] = delta | mids
-    perray, w = _lean_composite(rgb, density, dm[:, 0:1], dm[:, 1:2], cfg)
+    perray, w = _lean_composite(rgb, density, delta_ref[:], mids_ref[:],
+                                cfg)
     outs[0][:] = perray
     outs[1][:] = w
     if save:
         outs[2][:] = jnp.concatenate(hs + [bottleneck] + ys, axis=-1)
 
 
-def _bwd_kernel_lean_render(x_ref, view_ref, dm_ref, gp_ref, gw_ref,
-                            *refs, cfg, save: bool):
+def _bwd_kernel_lean_render(x_ref, view_ref, delta_ref, mids_ref, gp_ref,
+                            gw_ref, *refs, cfg, save: bool):
     """Render-fused backward: rebuild the activated heads (from the saved
     stream in save mode, by recompute otherwise), run the composite
     backward, fold the activation derivatives, then the shared gradient
@@ -1485,9 +1490,8 @@ def _bwd_kernel_lean_render(x_ref, view_ref, dm_ref, gp_ref, gw_ref,
         + params[2 * net_depth + 1].astype(f32)
     rgb_a, sigma_a = _lean_apply_act(raw_rgb, raw_d, cfg['act'])
 
-    dm = dm_ref[:]                            # [T, 2] = delta | mids
     g_rgb_a, g_sigma_a = _lean_render_head_cotangents(
-        rgb_a, sigma_a, dm[:, 0:1], dm[:, 1:2],
+        rgb_a, sigma_a, delta_ref[:], mids_ref[:],
         gp_ref[:], gw_ref[:], cfg)
 
     sig = jax.nn.sigmoid(raw_rgb)
@@ -1497,7 +1501,7 @@ def _bwd_kernel_lean_render(x_ref, view_ref, dm_ref, gp_ref, gw_ref,
                       dparam_refs, {**cfg, 'act': None})
 
 
-def _run_fwd_lean_render(x, view, dm, flat_params, cfg, interpret,
+def _run_fwd_lean_render(x, view, delta, mids, flat_params, cfg, interpret,
                          save: bool):
     N = cfg['num_samples']
     T = _lean_tile(_ROW_TILE_LEAN_SAVE_FWD if save else _ROW_TILE, N)
@@ -1508,7 +1512,8 @@ def _run_fwd_lean_render(x, view, dm, flat_params, cfg, interpret,
     B = M // N                        # real ray count
     x, x_spec = _x_pad_spec(x, Mp, T, cfg)
     view = _pad_rows(view, R)
-    dm = _pad_rows(dm, Mp)
+    delta = _pad_rows(delta, R)
+    mids = _pad_rows(mids, R)
     saved_w = sum(cfg['saved_widths'])
     dtype = cfg['dtype']
     out_shapes = [jax.ShapeDtypeStruct((R, 8), jnp.float32),
@@ -1525,19 +1530,19 @@ def _run_fwd_lean_render(x, view, dm, flat_params, cfg, interpret,
         grid=(Mp // T,),
         in_specs=([x_spec,
                    _tile_spec_t(view.shape[1], Rt),
-                   _tile_spec_t(2, T)]
+                   _tile_spec_t(N, Rt), _tile_spec_t(N, Rt)]
                   + [_full_spec() for _ in flat_params]
                   + [_full_spec() for _ in enc_in]),
         out_specs=tuple(out_specs),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
-    )(x, view, dm, *flat_params, *enc_in)
+    )(x, view, delta, mids, *flat_params, *enc_in)
     perray, w = outs[:2]
     saved = outs[2] if save else None
     return (perray[:B], w[:B]), saved
 
 
-def _run_bwd_lean_render(x, view, dm, g_perray, g_w,
+def _run_bwd_lean_render(x, view, delta, mids, g_perray, g_w,
                          saved, flat_params, cfg, interpret, save: bool):
     N = cfg['num_samples']
     T = _lean_tile(_ROW_TILE_LEAN_SAVE if save else _ROW_TILE_BWD, N)
@@ -1547,7 +1552,8 @@ def _run_bwd_lean_render(x, view, dm, g_perray, g_w,
     Rt = T // N
     x, x_spec = _x_pad_spec(x, Mp, T, cfg)
     view = _pad_rows(view, R)
-    dm = _pad_rows(dm, Mp)
+    delta = _pad_rows(delta, R)
+    mids = _pad_rows(mids, R)
     g_perray = _pad_rows(g_perray, R)
     g_w = _pad_rows(g_w, R)
     extra = []
@@ -1567,7 +1573,7 @@ def _run_bwd_lean_render(x, view, dm, g_perray, g_w,
         grid=(Mp // T,),
         in_specs=([x_spec,
                    _tile_spec_t(view.shape[1], Rt),
-                   _tile_spec_t(2, T),
+                   _tile_spec_t(N, Rt), _tile_spec_t(N, Rt),
                    _tile_spec_t(8, Rt), _tile_spec_t(N, Rt)]
                   + [_tile_spec_t(s.shape[1], T) for s in extra]
                   + [_full_spec() for _ in flat_params]
@@ -1575,7 +1581,7 @@ def _run_bwd_lean_render(x, view, dm, g_perray, g_w,
         out_specs=tuple(dparam_specs),
         interpret=_resolve_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
-    )(x, view, dm, g_perray, g_w, *extra, *flat_params, *enc_in)
+    )(x, view, delta, mids, g_perray, g_w, *extra, *flat_params, *enc_in)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11,
@@ -1590,6 +1596,8 @@ def fused_mlp_lean_render(x, view, delta, mids, flat_params,
     one pallas_call.  (x [M, F], view [M/N, Fv], delta [M/N, N] =
     (t1 - t0) * ||dir||, mids [M/N, N] = 0.5 (t0 + t1), params) ->
     (comp_rgb [M/N, 3], dist_raw [M/N, 1], acc [M/N, 1], weights [M/N, N]).
+    delta / mids stream as full-lane per-ray [R, N] planes — their natural
+    producer layout (no [M, 2] lane-padded column stream).
 
     Numerically equivalent to MLP + models/mipnerf.py's head epilogue +
     ops/render.py:volumetric_rendering with the distance clamp left to the
@@ -1618,9 +1626,9 @@ def fused_mlp_lean_render(x, view, delta, mids, flat_params,
                     compute_dtype, num_samples, act, encode=encode)
     cfg['render'] = {'white_bkgd': white_bkgd}
     wparams = [p.astype(compute_dtype) for p in flat_params]
-    dm = jnp.concatenate([delta, mids], axis=-1).astype(jnp.float32)
     (perray, w), _ = _run_fwd_lean_render(
-        x, view, dm, wparams, cfg, interpret, mode == 'save')
+        x, view, delta.astype(jnp.float32), mids.astype(jnp.float32),
+        wparams, cfg, interpret, mode == 'save')
     return perray[:, 0:3], perray[:, 4:5], perray[:, 3:4], w
 
 
@@ -1635,18 +1643,19 @@ def _fused_mlp_lean_render_fwd(x, view, delta, mids, flat_params,
                     compute_dtype, num_samples, act, encode=encode)
     cfg['render'] = {'white_bkgd': white_bkgd}
     wparams = [p.astype(compute_dtype) for p in flat_params]
-    dm = jnp.concatenate([delta, mids], axis=-1).astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+    mids = mids.astype(jnp.float32)
     (perray, w), saved = _run_fwd_lean_render(
-        x, view, dm, wparams, cfg, interpret, mode == 'save')
+        x, view, delta, mids, wparams, cfg, interpret, mode == 'save')
     return ((perray[:, 0:3], perray[:, 4:5], perray[:, 3:4], w),
-            (x, view, dm, flat_params, saved))
+            (x, view, delta, mids, flat_params, saved))
 
 
 def _fused_mlp_lean_render_bwd(num_samples, net_depth, net_depth_condition,
                                skip_index, compute_dtype, interpret, mode,
                                act, white_bkgd, encode, res, g):
     g_comp, g_dist, g_acc, g_w = g
-    x, view, dm, flat_params, saved = res
+    x, view, delta, mids, flat_params, saved = res
     cfg = _lean_cfg(net_depth, net_depth_condition, skip_index, flat_params,
                     compute_dtype, num_samples, act, encode=encode)
     cfg['render'] = {'white_bkgd': white_bkgd}
@@ -1657,12 +1666,12 @@ def _fused_mlp_lean_render_bwd(num_samples, net_depth, net_depth_condition,
         [g_comp, g_acc, g_dist, jnp.zeros_like(g_comp)],
         axis=-1).astype(jnp.float32)
     outs = _run_bwd_lean_render(
-        x, view, dm, g_perray, g_w, saved, wparams,
+        x, view, delta, mids, g_perray, g_w, saved, wparams,
         cfg, interpret, mode == 'save')
     dparams = [d.reshape(p.shape).astype(p.dtype)
                for d, p in zip(outs, flat_params)]
     return (jnp.zeros_like(x), jnp.zeros_like(view),
-            jnp.zeros_like(dm[:, 0:1]), jnp.zeros_like(dm[:, 1:2]),
+            jnp.zeros_like(delta), jnp.zeros_like(mids),
             tuple(dparams))
 
 

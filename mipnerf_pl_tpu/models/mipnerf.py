@@ -41,6 +41,14 @@ from mipnerf_pl_tpu.ops.sampling import (resample_along_rays,
 from mipnerf_pl_tpu.rays import Rays
 
 
+def lean_cumsum_active(mxu_cumsum: bool, mlp_backend: str) -> bool:
+    """Whether the MXU prefix-sum swap engages (shared with train/system.py,
+    which applies the same predicate to the distloss prefix sums so the
+    whole train step switches together)."""
+    return bool(mxu_cumsum) and mlp_backend in ('pallas_lean',
+                                                'pallas_lean_save')
+
+
 class LevelOutput(NamedTuple):
     """Per-level render result — the one stable structure used everywhere."""
 
@@ -154,6 +162,14 @@ class MipNerf(nn.Module):
     # Inert for the exact backends (xla/pallas/pallas_save keep libm
     # exp/sin and golden-test parity).
     fast_encode_math: bool = True
+    # Prefix sums (resample CDF, cmajor transmittance, and — via
+    # train/system.py — the distloss prefix sums) as triangular MXU matmuls
+    # (ops/fastmath.py cumsum_mxu) instead of the O(N^2) VPU reduce-windows
+    # XLA emits for short-axis jnp.cumsum.  Exact to f32 rounding
+    # (precision=HIGHEST), but not bit-identical to sequential cumsum, so
+    # it engages for the lean megakernel consumers only — the exact
+    # backends (xla/pallas/pallas_save) keep golden-test parity.
+    mxu_cumsum: bool = True
 
     def setup(self):
         if (self.mlp_backend in ('pallas_lean', 'pallas_lean_save',
@@ -227,6 +243,9 @@ class MipNerf(nn.Module):
             and self.use_viewdirs          # lean path engages only then
             and not self.unbounded
             and self.ipe_backend == 'xla')
+        # MXU prefix sums: lean consumers only (see mxu_cumsum).
+        self._mxu_cumsum = lean_cumsum_active(self.mxu_cumsum,
+                                              self.mlp_backend)
         mlp_cls = nn.remat(MLP) if self.remat == 'mlp' else MLP
         self.mlp = mlp_cls(
             fused_activation=((float(self.rgb_padding),
@@ -291,7 +310,8 @@ class MipNerf(nn.Module):
                     t_samples, means_covs = resample_along_rays_360(
                         k_sample, rays.origins, rays.directions, rays.radii,
                         t_samples, weights, randomized, self.ray_shape,
-                        self.stop_resample_grad, self.resample_padding)
+                        self.stop_resample_grad, self.resample_padding,
+                        mxu_cumsum=self._mxu_cumsum)
             elif i_level == 0:
                 t_samples, means_covs = sample_along_rays(
                     k_sample, rays.origins, rays.directions, rays.radii,
@@ -301,7 +321,8 @@ class MipNerf(nn.Module):
                 t_samples, means_covs = resample_along_rays(
                     k_sample, rays.origins, rays.directions, rays.radii,
                     t_samples, weights, randomized, self.ray_shape,
-                    self.stop_resample_grad, self.resample_padding)
+                    self.stop_resample_grad, self.resample_padding,
+                    mxu_cumsum=self._mxu_cumsum)
 
             encode = None
             if self._fused_encode:
@@ -386,7 +407,8 @@ class MipNerf(nn.Module):
                 comp_rgb, distance, acc, weights = \
                     volumetric_rendering_cmajor(
                         rgb, density[0], t_render, rays.directions,
-                        white_bkgd=white_bkgd)
+                        white_bkgd=white_bkgd,
+                        mxu_cumsum=self._mxu_cumsum)
             else:
                 comp_rgb, distance, acc, weights = volumetric_rendering(
                     rgb, density, t_render, rays.directions,
@@ -435,4 +457,5 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         lean_input_cast=bool(hparams.get('nerf.lean_input_cast', False)),
         fuse_encode=bool(hparams.get('nerf.fuse_encode', False)),
         fast_encode_math=bool(hparams.get('nerf.fast_encode_math', True)),
+        mxu_cumsum=bool(hparams.get('nerf.mxu_cumsum', True)),
     )

@@ -316,8 +316,10 @@ class MLP(nn.Module):
         lead = lead_x[:-1]
         # f32 in; the kernel casts per tile in VMEM (see _call_pallas_lean).
         view2 = view_direction.reshape(-1, view_direction.shape[-1])
-        d2 = delta.reshape(-1, 1)
-        m2 = mids.reshape(-1, 1)
+        # delta / mids stay in their producer layout: full-lane [R, N]
+        # per-ray planes (a [M, 1] column stream would lane-pad 1 -> 128).
+        d2 = delta.reshape(-1, num_samples)
+        m2 = mids.reshape(-1, num_samples)
         mode = 'save' if self.backend == 'pallas_lean_save' else 'recompute'
         comp, dist, acc, w = fused_mlp_lean_render(
             x2, view2, d2, m2, tuple(flat), num_samples, self.net_depth,

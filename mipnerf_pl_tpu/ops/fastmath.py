@@ -66,3 +66,32 @@ def fast_sin(y):
     for cco in _SIN_POLY[-2::-1]:
         p = p * t2 + np.float32(cco)
     return p * t
+
+
+def cumsum_mxu(x, *, exclusive: bool = False):
+    """Prefix sum along the last axis as ONE triangular MXU matmul.
+
+    XLA lowers `jnp.cumsum` over a short trailing axis on TPU to an O(N^2)
+    reduce-window on the VPU; at the train-step shapes ([B, 128] per level
+    for the transmittance, the resample CDF and the distloss prefix sums,
+    forward AND transposed again in backward) those reduce-windows are pure
+    serial VPU time.  The same O(N^2) work expressed as `x @ triu(ones)`
+    is a [B, N] x [N, N] matmul — a few microseconds of MXU.  The VJP is
+    the mirrored triangular matmul, so the backward's reversed cumsums
+    become MXU work too.
+
+    precision=HIGHEST keeps the f32 sums exact to ~1 ulp (every partial
+    product is an exact f32 value times 1.0), matching sequential cumsum
+    to float rounding.
+
+    Args:
+      x: [..., N] f32.
+      exclusive: drop the diagonal — out[..., i] = sum_{j < i} x[..., j]
+        (the transmittance / prefix-"before" form).
+
+    Returns:
+      [..., N] prefix sums.
+    """
+    n = x.shape[-1]
+    tri = jnp.triu(jnp.ones((n, n), x.dtype), k=1 if exclusive else 0)
+    return jnp.matmul(x, tri, precision=jax.lax.Precision.HIGHEST)

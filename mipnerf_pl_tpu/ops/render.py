@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from mipnerf_pl_tpu.ops.fastmath import cumsum_mxu
+
 
 def volumetric_rendering(rgb, density, t_samples, dirs, white_bkgd: bool):
     """Composite per-sample (rgb, density) along each ray.
@@ -53,7 +55,7 @@ def volumetric_rendering(rgb, density, t_samples, dirs, white_bkgd: bool):
 
 
 def volumetric_rendering_cmajor(rgb_cm, density, t_samples, dirs,
-                                white_bkgd: bool):
+                                white_bkgd: bool, mxu_cumsum: bool = False):
     """Channel-major twin of `volumetric_rendering` for the lean kernels'
     cmajor boundary (kernels/mlp.py fused_mlp_lean cmajor=True).
 
@@ -77,7 +79,13 @@ def volumetric_rendering_cmajor(rgb_cm, density, t_samples, dirs,
     density_delta = density * delta                                  # [B, N]
 
     alpha = 1.0 - jnp.exp(-density_delta)
-    trans = jnp.exp(-(jnp.cumsum(density_delta, axis=-1) - density_delta))
+    if mxu_cumsum:
+        # Exclusive prefix sum as a strict-upper-triangular MXU matmul
+        # (ops/fastmath.py cumsum_mxu) instead of XLA's VPU reduce-window.
+        trans = jnp.exp(-cumsum_mxu(density_delta, exclusive=True))
+    else:
+        trans = jnp.exp(-(jnp.cumsum(density_delta, axis=-1)
+                          - density_delta))
     weights = alpha * trans                                          # [B, N]
 
     comp_rgb = jnp.sum(weights[None] * rgb_cm, axis=-1).T            # [B, 3]
@@ -90,7 +98,7 @@ def volumetric_rendering_cmajor(rgb_cm, density, t_samples, dirs,
     return comp_rgb, distance, acc, weights
 
 
-def distloss(weights, t_samples):
+def distloss(weights, t_samples, mxu_cumsum: bool = False):
     """Distortion regularizer of mip-NeRF 360 §4 (uni- + bilateral terms).
 
     Parity: reference models/mip.py:8-20 (same normalization: per-ray sums,
@@ -111,12 +119,14 @@ def distloss(weights, t_samples):
     interval = t_samples[..., 1:] - t_samples[..., :-1]
     mid_points = 0.5 * (t_samples[..., 1:] + t_samples[..., :-1])
     loss_uni = (1.0 / 3.0) * jnp.mean(jnp.sum(interval * weights ** 2, axis=-1))
-    w_cum = jnp.cumsum(weights, axis=-1)
     wm = weights * mid_points
-    wm_cum = jnp.cumsum(wm, axis=-1)
     # Exclusive prefix sums: contributions of all j < i.
-    w_before = w_cum - weights
-    wm_before = wm_cum - wm
+    if mxu_cumsum:
+        w_before = cumsum_mxu(weights, exclusive=True)
+        wm_before = cumsum_mxu(wm, exclusive=True)
+    else:
+        w_before = jnp.cumsum(weights, axis=-1) - weights
+        wm_before = jnp.cumsum(wm, axis=-1) - wm
     loss_bi = 2.0 * jnp.mean(jnp.sum(
         weights * (mid_points * w_before - wm_before), axis=-1))
     return loss_uni + loss_bi

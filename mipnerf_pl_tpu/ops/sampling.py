@@ -97,7 +97,8 @@ def sample_along_rays_360(key, origins, directions, radii, num_samples: int,
 
 
 def sorted_piecewise_constant_pdf(key, bins, weights, num_samples: int,
-                                  randomized: bool):
+                                  randomized: bool,
+                                  mxu_cumsum: bool = False):
     """Inverse-transform sampling from a piecewise-constant PDF over sorted bins.
 
     Parity: reference models/mip.py:168-229, including the eps-padding of
@@ -131,7 +132,13 @@ def sorted_piecewise_constant_pdf(key, bins, weights, num_samples: int,
     # CDF starting at exactly 0 and ending at exactly 1: [B, M+1]
     # (same length as `bins`, so cdf[m] pairs with bins[m]).
     pdf = weights / weight_sum
-    cdf = jnp.minimum(1.0, jnp.cumsum(pdf[..., :-1], axis=-1))
+    if mxu_cumsum:
+        # Prefix sum as a triangular MXU matmul instead of the VPU
+        # reduce-window XLA emits for short-axis cumsum (ops/fastmath.py).
+        from mipnerf_pl_tpu.ops.fastmath import cumsum_mxu
+        cdf = jnp.minimum(1.0, cumsum_mxu(pdf[..., :-1]))
+    else:
+        cdf = jnp.minimum(1.0, jnp.cumsum(pdf[..., :-1], axis=-1))
     cdf = jnp.concatenate([
         jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1]),
     ], axis=-1)
@@ -182,7 +189,8 @@ def _blurpool(weights, resample_padding: float):
 
 def resample_along_rays_360(key, origins, directions, radii, t_inv, weights,
                             randomized: bool, ray_shape: str, stop_grad: bool,
-                            resample_padding: float):
+                            resample_padding: float,
+                            mxu_cumsum: bool = False):
     """Hierarchical resampling in inverse-depth space (unbounded scenes).
 
     The reference has no working 360 resampler (its 360 path is dead,
@@ -200,7 +208,8 @@ def resample_along_rays_360(key, origins, directions, radii, t_inv, weights,
     bins_asc = jnp.flip(t_inv, axis=-1)
     w_asc = jnp.flip(weights_blur, axis=-1)
     new_asc = sorted_piecewise_constant_pdf(
-        key, bins_asc, w_asc, t_inv.shape[-1], randomized)
+        key, bins_asc, w_asc, t_inv.shape[-1], randomized,
+        mxu_cumsum=mxu_cumsum)
     new_t_inv = jnp.flip(new_asc, axis=-1)
     if stop_grad:
         new_t_inv = jax.lax.stop_gradient(new_t_inv)
@@ -212,7 +221,7 @@ def resample_along_rays_360(key, origins, directions, radii, t_inv, weights,
 
 def resample_along_rays(key, origins, directions, radii, t_samples, weights,
                         randomized: bool, ray_shape: str, stop_grad: bool,
-                        resample_padding: float):
+                        resample_padding: float, mxu_cumsum: bool = False):
     """Hierarchical resampling: blurpool coarse weights, inverse-CDF sample.
 
     Parity: reference models/mip.py:232-280.  `torch.no_grad()` becomes
@@ -224,7 +233,8 @@ def resample_along_rays(key, origins, directions, radii, t_samples, weights,
     weights_blur = _blurpool(weights, resample_padding)
 
     new_t_samples = sorted_piecewise_constant_pdf(
-        key, t_samples, weights_blur, t_samples.shape[-1], randomized)
+        key, t_samples, weights_blur, t_samples.shape[-1], randomized,
+        mxu_cumsum=mxu_cumsum)
     if stop_grad:
         new_t_samples = jax.lax.stop_gradient(new_t_samples)
     means, covs = cast_rays(new_t_samples, origins, directions, radii,

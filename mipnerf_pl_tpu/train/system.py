@@ -170,8 +170,18 @@ class MipNeRFSystem:
             hparams['optimizer.max_steps'],
             hparams['optimizer.lr_delay_steps'],
             hparams['optimizer.lr_delay_mult'])
-        self.tx = optax.adam(learning_rate=self.lr_schedule)
         self.model_axis = int(hparams.get('parallel.model_axis', 1) or 1)
+        # Packed Adam: one flat-vector update instead of ~36 per-leaf
+        # micro-fusions inside the scan (train/opt.py).  Disabled under
+        # model parallelism — raveling would merge differently-sharded
+        # leaves into one replicated vector.  Checkpoint opt_states are
+        # shape-incompatible across this flag; keep it fixed per run.
+        if (bool(hparams.get('train.packed_adam', True))
+                and self.model_axis == 1):
+            from mipnerf_pl_tpu.train.opt import packed_adam
+            self.tx = packed_adam(learning_rate=self.lr_schedule)
+        else:
+            self.tx = optax.adam(learning_rate=self.lr_schedule)
         # Device count: num_devices wins; otherwise honor the reference's
         # `num_gpus` key (reference configs/lego.yaml:2 carries it, so a
         # reference-style config with num_gpus: 2 must use 2 chips, not
@@ -197,6 +207,11 @@ class MipNeRFSystem:
         self.batch_size = int(hparams['train.batch_size'])
         self.coarse_loss_mult = float(hparams['loss.coarse_loss_mult'])
         self.distloss_mult = float(hparams.get('loss.distloss_mult', 0.01))
+        # MXU prefix sums for the distloss (same predicate as the model's
+        # internal cumsums — the whole train step switches together).
+        from mipnerf_pl_tpu.models.mipnerf import lean_cumsum_active
+        self._mxu_distloss = lean_cumsum_active(
+            bool(hparams.get('nerf.mxu_cumsum', True)), train_backend)
         self.disable_multiscale_loss = hparams['loss.disable_multiscale_loss']
 
         self._train_step = None
@@ -308,7 +323,7 @@ class MipNeRFSystem:
                     # mip-NeRF-360 formulation.
                     w = jnp.flip(w, axis=-1)
                     t = jnp.flip(t, axis=-1)
-                dists.append(distloss(w, t))
+                dists.append(distloss(w, t, mxu_cumsum=self._mxu_distloss))
             else:
                 dists.append(jnp.zeros(()))
             psnrs.append(calc_psnr(level.rgb, pixels[..., :3]))

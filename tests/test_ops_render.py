@@ -130,3 +130,60 @@ def test_render_grad_flows():
     g = jax.grad(loss)(jnp.asarray(density))
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+# -- MXU prefix sums (ops/fastmath.py cumsum_mxu) -----------------------------
+
+def test_cumsum_mxu_matches_cumsum():
+    from mipnerf_pl_tpu.ops.fastmath import cumsum_mxu
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(7, 128)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(cumsum_mxu(x)),
+                               np.asarray(jnp.cumsum(x, axis=-1)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cumsum_mxu(x, exclusive=True)),
+        np.asarray(jnp.cumsum(x, axis=-1) - x), rtol=1e-5, atol=1e-5)
+
+
+def test_vol_render_cmajor_mxu_cumsum_equivalent():
+    from mipnerf_pl_tpu.ops.render import volumetric_rendering_cmajor
+    rgb, density, t, dirs = _setup(B=6, N=32, seed=7)
+    rgb_cm = jnp.asarray(np.moveaxis(rgb, -1, 0))
+    d = jnp.asarray(density[..., 0])
+    base = volumetric_rendering_cmajor(rgb_cm, d, jnp.asarray(t),
+                                       jnp.asarray(dirs), True)
+    fast = volumetric_rendering_cmajor(rgb_cm, d, jnp.asarray(t),
+                                       jnp.asarray(dirs), True,
+                                       mxu_cumsum=True)
+    for a, b in zip(base, fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_distloss_mxu_cumsum_equivalent_incl_grad():
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.uniform(size=(5, 33)).astype(np.float32))
+    t = jnp.asarray(np.sort(rng.uniform(1, 6, size=(5, 34))
+                            .astype(np.float32), axis=-1))
+    f_base = lambda w_: distloss(w_, t)
+    f_mxu = lambda w_: distloss(w_, t, mxu_cumsum=True)
+    np.testing.assert_allclose(float(f_base(w)), float(f_mxu(w)), rtol=1e-6)
+    g_base = jax.grad(f_base)(w)
+    g_mxu = jax.grad(f_mxu)(w)
+    np.testing.assert_allclose(np.asarray(g_base), np.asarray(g_mxu),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_pdf_sampler_mxu_cumsum_equivalent():
+    from mipnerf_pl_tpu.ops.sampling import sorted_piecewise_constant_pdf
+    rng = np.random.default_rng(13)
+    bins = jnp.asarray(np.sort(rng.uniform(0, 4, size=(4, 17))
+                               .astype(np.float32), axis=-1))
+    w = jnp.asarray(rng.uniform(size=(4, 16)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    s_base = sorted_piecewise_constant_pdf(key, bins, w, 16, True)
+    s_mxu = sorted_piecewise_constant_pdf(key, bins, w, 16, True,
+                                          mxu_cumsum=True)
+    np.testing.assert_allclose(np.asarray(s_base), np.asarray(s_mxu),
+                               rtol=1e-5, atol=1e-5)
