@@ -61,13 +61,20 @@ def main(args):
     # Reference parity (eval.py:61): the CLI's --white_bkgd drives the
     # render compositing (dataset compositing still follows the ckpt hparams).
     system.white_bkgd = bool(args.white_bkgd)
-    _, state = restore_for_eval(args.ckpt, system.abstract_state())
+    _, state = restore_for_eval(args.ckpt, system.abstract_eval_state())
 
     dataset_name = getattr(args, 'dataset_name', None)
+    # data.factor follows the checkpoint hparams, as in training
+    # (train/system.py setup) — a real360 capture trained at factor 1 must
+    # eval from images_1, not the class default images_4.
+    extra = {}
+    factor = hparams.get('data.factor')
+    if factor is not None and str(factor) != 'None':
+        extra['factor'] = int(factor)
     test_dataset = dataset_dict[dataset_name or hparams['dataset_name']](
         data_dir=args.data, split='test',
         white_bkgd=hparams['val.white_bkgd'],
-        batch_type=hparams['val.batch_type'])
+        batch_type=hparams['val.batch_type'], **extra)
 
     for i in range(args.scale):
         os.makedirs(os.path.join(args.out_dir, 'test', exp_name, str(2 ** i)),

@@ -67,19 +67,31 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._last.latest_step()
 
-    def restore_last(self, abstract_state: Any) -> Tuple[int, Any]:
+    @staticmethod
+    def _restore_args(abstract_state: Any, partial: bool):
+        """Partial restores (eval/render want {params, step} only) go through
+        PyTreeRestore(partial_restore=True) so the on-disk opt_state — whose
+        structure varies with train.packed_adam — is simply skipped."""
+        if partial:
+            return ocp.args.PyTreeRestore(item=abstract_state,
+                                          partial_restore=True)
+        return ocp.args.StandardRestore(abstract_state)
+
+    def restore_last(self, abstract_state: Any,
+                     partial: bool = False) -> Tuple[int, Any]:
         step = self._last.latest_step()
         assert step is not None, f'no checkpoint under {self.ckpt_dir}/last'
         state = self._last.restore(
-            step, args=ocp.args.StandardRestore(abstract_state))
+            step, args=self._restore_args(abstract_state, partial))
         return step, state
 
-    def restore_best(self, abstract_state: Any) -> Tuple[int, Any]:
+    def restore_best(self, abstract_state: Any,
+                     partial: bool = False) -> Tuple[int, Any]:
         step = self._best.best_step()
         if step is None:
-            return self.restore_last(abstract_state)
+            return self.restore_last(abstract_state, partial)
         state = self._best.restore(
-            step, args=ocp.args.StandardRestore(abstract_state))
+            step, args=self._restore_args(abstract_state, partial))
         return step, state
 
     def close(self):
@@ -104,12 +116,19 @@ def load_hparams(ckpt_path: str) -> dict:
 
 def restore_for_eval(ckpt_path: str, abstract_state: Any,
                      prefer_best: bool = True) -> Tuple[int, Any]:
-    """Restore a checkpointed state given the checkpoint root directory."""
+    """Restore a checkpointed state given the checkpoint root directory.
+
+    Pass `system.abstract_eval_state()` ({params, step}, no opt_state) —
+    the restore is partial, so it never depends on the optimizer layout the
+    checkpoint was written with.  A full template still works (exact
+    structural match required, as for train auto-resume)."""
     mgr = CheckpointManager(ckpt_path)
+    partial = isinstance(abstract_state, dict) and \
+        'opt_state' not in abstract_state
     try:
         if prefer_best:
-            return mgr.restore_best(abstract_state)
-        return mgr.restore_last(abstract_state)
+            return mgr.restore_best(abstract_state, partial=partial)
+        return mgr.restore_last(abstract_state, partial=partial)
     finally:
         mgr.close()
 

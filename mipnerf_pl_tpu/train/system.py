@@ -273,6 +273,13 @@ class MipNeRFSystem:
         return {'params': params, 'opt_state': opt_state,
                 'step': jax.ShapeDtypeStruct((), jnp.int32)}
 
+    def abstract_eval_state(self):
+        """Abstract {params, step} — no opt_state.  Eval/render restores use
+        this so a checkpoint stays evaluable regardless of which optimizer
+        layout (train.packed_adam on/off) wrote it."""
+        st = self.abstract_state()
+        return {'params': st['params'], 'step': st['step']}
+
     # -- data ----------------------------------------------------------------
     def setup(self, data_path: str, dataset_name: str,
               prefetch: int = 2, seed: Optional[int] = None,

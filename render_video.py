@@ -67,7 +67,7 @@ def run_render(args):
     exp_name = hparams['exp_name']
     system = MipNeRFSystem(hparams)
     system.white_bkgd = bool(args.white_bkgd)
-    _, state = restore_for_eval(args.ckpt, system.abstract_state())
+    _, state = restore_for_eval(args.ckpt, system.abstract_eval_state())
 
     for i in range(args.scale):
         os.makedirs(os.path.join(args.out_dir, 'render_spheric', exp_name,

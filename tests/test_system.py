@@ -104,6 +104,33 @@ def test_checkpoint_roundtrip(tmp_path, system, scene):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_eval_restore_across_optimizer_layouts(tmp_path, scene):
+    """Eval/render restores ({params, step} via abstract_eval_state) must not
+    depend on the optimizer layout the checkpoint was written with: a ckpt
+    saved with per-leaf optax.adam (train.packed_adam=False) restores under
+    a packed-Adam system and vice versa (regression: the 50k real360 run's
+    eval crashed on an opt_state template mismatch)."""
+    from mipnerf_pl_tpu.train.ckpt import CheckpointManager, restore_for_eval
+
+    hp = tiny_hparams()
+    hp['train.packed_adam'] = False           # per-leaf optax.adam layout
+    writer = MipNeRFSystem(hp)
+    writer.setup(scene, 'blender', prefetch=0)
+    state = writer.init_state()
+    ckpt_dir = str(tmp_path / 'ckpt')
+    mgr = CheckpointManager(ckpt_dir, hparams=writer.hparams)
+    mgr.save(3, jax.device_get(state), val_psnr=10.0)
+    mgr.close()
+
+    reader = MipNeRFSystem(tiny_hparams())     # packed-Adam system (default)
+    step, restored = restore_for_eval(ckpt_dir, reader.abstract_eval_state())
+    assert step == 3
+    assert 'opt_state' not in restored
+    for a, b in zip(jax.tree.leaves(restored['params']),
+                    jax.tree.leaves(jax.device_get(state)['params'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_loop_end_to_end(tmp_path, scene):
     """Miniature full fit(): steps, val, TB logs, checkpoints on disk."""
     hp = tiny_hparams()
