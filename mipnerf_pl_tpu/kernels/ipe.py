@@ -20,6 +20,7 @@ IPE encoding") and as the template for future kernels.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +141,93 @@ def _run_bwd(means2d, covs2d, g2d, min_deg, max_deg, interpret):
         ),
         interpret=interpret,
     )(jnp.asarray(scales), means2d, covs2d, g2d)
+
+
+# ---------------------------------------------------------------------------
+# Moments-form fast encode: the standalone producer for the lean megakernels.
+#
+# Why (round-5 step trace): with the megakernels consuming a precomputed
+# [M, F] f32 encode, the XLA-side producer lowers to TWO [M, F]-sized
+# fusions per level (the ladder matmul, then the transcendental epilogue —
+# XLA does not fuse an elementwise epilogue into a dot), i.e. three HBM
+# round-trips of the 151 MB encode at the lego shape, ~2.1 ms/step across
+# both levels.  This kernel emits the encode in ONE pass: the [6, M]
+# channel-major moments stream (ops/math.py cast_rays_cmajor, 9.4 MB) in,
+# one [M, F] write out, with the one-hot ladder matmul on the MXU and the
+# fast-polynomial exp/sin on the VPU per VMEM tile — the same math the
+# in-kernel fused encode runs (kernels/mlp.py _decode_moments, shared
+# here), so values match the fast-math XLA encode to ~1e-6 absolute.
+#
+# Gradient contract: zero cotangents for the moments, matching the lean
+# megakernels' own contract for their encoded inputs (models/mipnerf.py
+# setup() enforces nerf.stop_resample_grad=True for the lean family, which
+# makes the moments' cotangent path structurally dead).
+# ---------------------------------------------------------------------------
+
+_MOMENTS_TILE = int(os.environ.get('IPE_MOMENTS_TILE', '2048'))
+
+
+def _moments_kernel(comb_ref, phase_ref, m_ref, out_ref):
+    from mipnerf_pl_tpu.kernels.mlp import _decode_moments
+    out_ref[:] = _decode_moments(m_ref[:], comb_ref[:], phase_ref[:])
+
+
+def _run_moments(m2d, min_deg, max_deg, interpret):
+    from mipnerf_pl_tpu.kernels.mlp import _encode_matrices
+    interpret = _resolve_interpret(interpret)
+    M = m2d.shape[-1]
+    F = 2 * 3 * (max_deg - min_deg)
+    comb, phase = _encode_matrices(min_deg, max_deg)
+    T = _MOMENTS_TILE
+    grid = (pl.cdiv(M, T),)
+    return pl.pallas_call(
+        _moments_kernel,
+        out_shape=jax.ShapeDtypeStruct((M, F), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(comb.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, F), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray(comb), jnp.asarray(phase.reshape(1, -1)), m2d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_ipe_moments(moments, min_deg: int = 0, max_deg: int = 16,
+                      interpret=None):
+    """Moments-form fused IPE: [6, ...] channel-major diagonal Gaussians
+    (rows 0-2 means xyz, rows 3-5 cov diag xyz — cast_rays_cmajor's layout)
+    -> [..., 2*3*L] f32 encodings.
+
+    Values match `ops.math.integrated_pos_enc(..., fast_transcendentals=
+    True)` to ~1e-6 absolute (same fast exp/sin polynomials, exact 3-way
+    mantissa-split ladder matmul).  Backward returns ZERO moment cotangents
+    (see module comment) — callers must sit behind stop_resample_grad.
+    """
+    lead = moments.shape[1:]
+    out = _run_moments(moments.reshape(6, -1), min_deg, max_deg, interpret)
+    return out.reshape(*lead, -1)
+
+
+def _fused_ipe_moments_fwd(moments, min_deg, max_deg, interpret):
+    # The residual is the input itself (already live as the kernel's
+    # operand); the backward only reads its shape/dtype for the zero fill.
+    return (fused_ipe_moments(moments, min_deg, max_deg, interpret),
+            moments)
+
+
+def _fused_ipe_moments_bwd(min_deg, max_deg, interpret, res, g):
+    del g
+    return (jnp.zeros_like(res),)
+
+
+fused_ipe_moments.defvjp(_fused_ipe_moments_fwd, _fused_ipe_moments_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

@@ -162,6 +162,20 @@ class MipNerf(nn.Module):
     # Inert for the exact backends (xla/pallas/pallas_save keep libm
     # exp/sin and golden-test parity).
     fast_encode_math: bool = True
+    # Produce the lean megakernels' [M, F] encode with the standalone
+    # moments-form Pallas kernel (kernels/ipe.py fused_ipe_moments) instead
+    # of the XLA fusion chain: XLA lowers the fast-math encode as TWO
+    # [M, F]-sized fusions per level (dot, then transcendental epilogue) —
+    # three encode-sized HBM round-trips; the kernel does one write.
+    # Same fast-polynomial values (~1e-6 abs vs the XLA fast encode), same
+    # zero-cotangent contract as the lean kernels, so it engages exactly
+    # when fast_encode_math does (and the in-kernel fused encode doesn't).
+    # Default OFF: the only available A/B (DESIGN.md §18) ran on a
+    # contended chip (4-18x below its own earlier ceilings) and measured
+    # the two paths within noise of each other — the HBM argument is
+    # unproven on-chip, and the round-4 fused-encode precedent (§13) says
+    # don't default-on an unproven encode rewrite.
+    pallas_encode: bool = False
     # Prefix sums (resample CDF, cmajor transmittance, and — via
     # train/system.py — the distloss prefix sums) as triangular MXU matmuls
     # (ops/fastmath.py cumsum_mxu) instead of the O(N^2) VPU reduce-windows
@@ -243,6 +257,12 @@ class MipNerf(nn.Module):
             and self.use_viewdirs          # lean path engages only then
             and not self.unbounded
             and self.ipe_backend == 'xla')
+        # Standalone Pallas encode producer: same regime as the fast-math
+        # XLA encode it replaces (see pallas_encode).
+        self._pallas_encode = (
+            self.pallas_encode
+            and self._fast_encode_math
+            and not self._fused_encode)
         # MXU prefix sums: lean consumers only (see mxu_cumsum).
         self._mxu_cumsum = lean_cumsum_active(self.mxu_cumsum,
                                               self.mlp_backend)
@@ -346,6 +366,21 @@ class MipNerf(nn.Module):
                 pass
             elif self.unbounded:
                 samples_enc = integrated_pos_enc_360(means_covs)
+            elif self._pallas_encode:
+                # Standalone moments-form encode kernel: one [M, F] HBM
+                # write instead of XLA's dot + epilogue fusion pair (the
+                # sampler's means_covs is unused here and DCE'd, as in the
+                # fused-encode branch above).
+                from mipnerf_pl_tpu.kernels.ipe import fused_ipe_moments
+                from mipnerf_pl_tpu.ops.math import cast_rays_cmajor
+                moments = cast_rays_cmajor(
+                    t_samples, rays.origins, rays.directions, rays.radii,
+                    self.ray_shape)
+                if self.disable_integration:
+                    moments = jnp.concatenate(
+                        [moments[:3], jnp.zeros_like(moments[3:])], axis=0)
+                samples_enc = fused_ipe_moments(
+                    moments, self.min_deg_point, self.max_deg_point)
             elif self.ipe_backend == 'pallas':
                 from mipnerf_pl_tpu.kernels.ipe import fused_ipe
                 samples_enc = fused_ipe(means_covs[0], means_covs[1],
@@ -457,5 +492,6 @@ def make_mipnerf_from_hparams(hparams: dict, compute_dtype=jnp.float32) -> MipNe
         lean_input_cast=bool(hparams.get('nerf.lean_input_cast', False)),
         fuse_encode=bool(hparams.get('nerf.fuse_encode', False)),
         fast_encode_math=bool(hparams.get('nerf.fast_encode_math', True)),
+        pallas_encode=bool(hparams.get('nerf.pallas_encode', False)),
         mxu_cumsum=bool(hparams.get('nerf.mxu_cumsum', True)),
     )
