@@ -160,3 +160,18 @@ def test_model_pallas_encode_matches_xla_fast_encode():
     for a, b in zip(jax.tree.leaves(g_0), jax.tree.leaves(g_1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=2e-5)
+
+
+def test_fused_ipe_moments_disable_integration():
+    """Model branch check: disable_integration zeroes the covariance rows
+    of the moments stream — the encode must equal the plain PE of the
+    means (exp(-0.5*0) = 1 factor)."""
+    from mipnerf_pl_tpu.kernels.ipe import fused_ipe_moments
+    rng = np.random.default_rng(3)
+    means, _, moments = _random_moments(rng, (32,))
+    moments[3:] = 0.0
+    want = np.asarray(integrated_pos_enc(
+        (jnp.asarray(means), jnp.zeros_like(jnp.asarray(means))), 0, 6,
+        fast_transcendentals=True))
+    got = np.asarray(fused_ipe_moments(jnp.asarray(moments), 0, 6, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
