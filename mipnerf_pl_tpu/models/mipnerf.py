@@ -285,6 +285,21 @@ class MipNerf(nn.Module):
             input_cast=self.lean_input_cast,
         )
 
+    def _moments_stream(self, t_samples, rays):
+        """[6, B, N] channel-major Gaussian moments for the kernel encode
+        paths (_fused_encode / _pallas_encode).  The sampler's means_covs
+        is unused by these paths and DCE'd by XLA — cast_rays_cmajor
+        recomputes the identical moments in the kernel-friendly layout;
+        disable_integration zeroes the covariance rows (3-5)."""
+        from mipnerf_pl_tpu.ops.math import cast_rays_cmajor
+        moments = cast_rays_cmajor(
+            t_samples, rays.origins, rays.directions, rays.radii,
+            self.ray_shape)
+        if self.disable_integration:
+            moments = jnp.concatenate(
+                [moments[:3], jnp.zeros_like(moments[3:])], axis=0)
+        return moments
+
     def _rgb_act(self, x):
         if self.rgb_activation == 'sigmoid':
             return nn.sigmoid(x)
@@ -348,17 +363,8 @@ class MipNerf(nn.Module):
             if self._fused_encode:
                 # Fused-encode boundary: hand the lean kernel the raw
                 # channel-major moments; it computes the IPE per tile in
-                # VMEM.  (means_covs from the sampler is unused here and
-                # DCE'd by XLA — cast_rays_cmajor recomputes the identical
-                # moments in the kernel-friendly [6, B, N] layout.)
-                from mipnerf_pl_tpu.ops.math import cast_rays_cmajor
-                samples_enc = cast_rays_cmajor(
-                    t_samples, rays.origins, rays.directions, rays.radii,
-                    self.ray_shape)
-                if self.disable_integration:
-                    samples_enc = jnp.concatenate(
-                        [samples_enc[:3], jnp.zeros_like(samples_enc[3:])],
-                        axis=0)
+                # VMEM.
+                samples_enc = self._moments_stream(t_samples, rays)
                 encode = (self.min_deg_point, self.max_deg_point)
             elif self.disable_integration:
                 means_covs = (means_covs[0], jnp.zeros_like(means_covs[1]))
@@ -368,19 +374,11 @@ class MipNerf(nn.Module):
                 samples_enc = integrated_pos_enc_360(means_covs)
             elif self._pallas_encode:
                 # Standalone moments-form encode kernel: one [M, F] HBM
-                # write instead of XLA's dot + epilogue fusion pair (the
-                # sampler's means_covs is unused here and DCE'd, as in the
-                # fused-encode branch above).
+                # write instead of XLA's dot + epilogue fusion pair.
                 from mipnerf_pl_tpu.kernels.ipe import fused_ipe_moments
-                from mipnerf_pl_tpu.ops.math import cast_rays_cmajor
-                moments = cast_rays_cmajor(
-                    t_samples, rays.origins, rays.directions, rays.radii,
-                    self.ray_shape)
-                if self.disable_integration:
-                    moments = jnp.concatenate(
-                        [moments[:3], jnp.zeros_like(moments[3:])], axis=0)
                 samples_enc = fused_ipe_moments(
-                    moments, self.min_deg_point, self.max_deg_point)
+                    self._moments_stream(t_samples, rays),
+                    self.min_deg_point, self.max_deg_point)
             elif self.ipe_backend == 'pallas':
                 from mipnerf_pl_tpu.kernels.ipe import fused_ipe
                 samples_enc = fused_ipe(means_covs[0], means_covs[1],

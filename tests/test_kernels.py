@@ -163,9 +163,8 @@ def test_model_pallas_encode_matches_xla_fast_encode():
 
 
 def test_fused_ipe_moments_disable_integration():
-    """Model branch check: disable_integration zeroes the covariance rows
-    of the moments stream — the encode must equal the plain PE of the
-    means (exp(-0.5*0) = 1 factor)."""
+    """Kernel check: zeroed covariance rows reduce the encode to the plain
+    PE of the means (exp(-0.5*0) = 1 factor)."""
     from mipnerf_pl_tpu.kernels.ipe import fused_ipe_moments
     rng = np.random.default_rng(3)
     means, _, moments = _random_moments(rng, (32,))
@@ -175,3 +174,27 @@ def test_fused_ipe_moments_disable_integration():
         fast_transcendentals=True))
     got = np.asarray(fused_ipe_moments(jnp.asarray(moments), 0, 6, True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_model_pallas_encode_disable_integration():
+    """Model branch check: MipNerf(disable_integration=True) under
+    _pallas_encode (the _moments_stream covariance zeroing) matches the
+    same model with pallas_encode off."""
+    from mipnerf_pl_tpu.models.mipnerf import MipNerf
+    from tests.helpers import random_rays
+
+    kw = dict(num_samples=8, max_deg_point=4, deg_view=2, mlp_net_depth=3,
+              mlp_net_width=16, mlp_net_width_condition=8, mlp_skip_index=2,
+              mlp_backend='pallas_lean_save', fast_encode_math=True,
+              disable_integration=True)
+    rays = random_rays(16)
+    m_0 = MipNerf(**kw, pallas_encode=False)
+    m_1 = MipNerf(**kw, pallas_encode=True)
+    params = m_0.init(jax.random.PRNGKey(0), rays, None, False, True)
+    r_0 = m_0.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    r_1 = m_1.apply(params, rays, jax.random.PRNGKey(1), False, True)
+    for l0, l1 in zip(r_0, r_1):
+        for f in ('rgb', 'distance', 'acc', 'weights'):
+            np.testing.assert_allclose(
+                np.asarray(getattr(l1, f)), np.asarray(getattr(l0, f)),
+                rtol=1e-5, atol=1e-6, err_msg=f)
